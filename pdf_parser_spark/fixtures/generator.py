@@ -1,0 +1,287 @@
+"""Deterministic synthetic form-document generator (FIXTURES.md §1-§3, §6).
+
+Generates, per (doc_id, page_no) and with no external data:
+
+- the interleaved `documents` rows (doc_id, spans) per the driver's
+  input_hint shape, and
+- the synthetic *perception* tables (`ocr_tokens`, `checkbox_matches`)
+  that stand in for the environment-heavy OCR / template-match kernels
+  (the reference's geometry stack consumes only the OCR dict + match
+  list — /root/reference/extractor.py:991-1122 — so injecting these
+  exercises the entire geometric layer deterministically).
+
+Everything derives from zlib.crc32 seeds of the (doc_id, page_no) key,
+so the decode UDF on any executor regenerates the exact same perception
+rows from a media_ref alone — modeling a deterministic rasterize+OCR
+kernel without the native libs.
+
+Layout cases covered (FIXTURES.md §6): checkbox row gaps around the
+50 px clustering threshold, section growth stops at >100 px gaps,
+missing labels, near-duplicate template hits within 5 px for NMS,
+IL1 OCR confusions in headers/labels, wrapped multi-line labels, and
+merged-token OCR.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from pdf_parser_spark import config as C
+
+# ---------------------------------------------------------------------------
+# Form schema (structural analogue of the reference's sections.json:
+# multi-word and single-word headers, labels with '/', labels with
+# uppercase 'I' to exercise IL1-flex matching).
+# ---------------------------------------------------------------------------
+
+_FORM_SCHEMA = [
+    {
+        "section_rank": 0,
+        "section_name": "PATIENT MEDICAL HISTORY",
+        "labels": [
+            "Diabetes",
+            "Heart Disease",
+            "High Blood Pressure",
+            "Liver Disease",
+            "Kidney Stones",
+            "Asthma",
+        ],
+    },
+    {
+        "section_rank": 1,
+        "section_name": "Exercise",
+        "labels": ["Daily", "Weekly", "Occasionally/Never"],
+    },
+    {
+        "section_rank": 2,
+        "section_name": "SOCIAL HISTORY",
+        "labels": ["Smoking", "Alcohol Use", "Recreational Drugs"],
+    },
+    {
+        "section_rank": 3,
+        "section_name": "ALLERGIES",
+        "labels": ["Penicillin", "Sulfa Drugs", "Latex", "Iodine"],
+    },
+]
+
+_NOISE_WORDS = [
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+    "adipiscing", "elit", "sed", "tempor",
+]
+
+_TEXT_WORDS = [
+    "patient", "intake", "form", "clinic", "visit", "date",
+    "provider", "notes", "summary", "review",
+]
+
+
+def form_schema() -> list[dict]:
+    """The broadcastable form schema (list of section dicts)."""
+    return [dict(s, labels=list(s["labels"])) for s in _FORM_SCHEMA]
+
+
+def _rng(*key) -> random.Random:
+    return random.Random(zlib.crc32(":".join(str(k) for k in key).encode()))
+
+
+def doc_page_count(doc_id: str, skew: bool = False) -> int:
+    r = _rng(doc_id, "pages")
+    if skew and r.random() < 0.02:
+        # heavy tail: multi-hundred-page docs (FIXTURES.md §1 skew profile)
+        return r.randint(100, 500)
+    return r.choices([1, 2, 3], weights=[0.5, 0.3, 0.2])[0]
+
+
+def media_ref(doc_id: str, page_no: int) -> str:
+    return f"media/{doc_id}/p{page_no}"
+
+
+def _corrupt_il1(word: str, r: random.Random) -> str:
+    """OCR-style confusion: uppercase 'I' rendered as 'l' or '1'."""
+    if "I" not in word:
+        return word
+    idx = word.index("I")
+    repl = r.choice(["l", "1"])
+    return word[:idx] + repl + word[idx + 1 :]
+
+
+def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
+    """Deterministic (ocr_tokens, checkbox_matches) rows for one page.
+
+    Token rows carry `tok_seq` (raw OCR emission order) and line identity
+    (block, par, line). Match rows carry `seq` encoding the reference's
+    match-list order: all 'ticked' hits in raster (y, x) order, then all
+    'empty' hits in raster order (match_template scans row-major; ticked
+    template is matched before empty — /root/reference/extractor.py:186-188).
+    """
+    r = _rng(doc_id, page_no, "layout")
+    n_pages = doc_page_count(doc_id)
+    # distribute sections across the doc's pages by rank
+    page_sections = [
+        s for s in _FORM_SCHEMA if s["section_rank"] % n_pages == (page_no - 1) % n_pages
+    ]
+
+    tokens: list[dict] = []
+    ticked: list[dict] = []
+    empty: list[dict] = []
+    line_ctr = 0
+
+    def emit_line(words_xy: list[tuple[str, int]], y: int):
+        nonlocal line_ctr
+        line_ctr += 1
+        for word, x in words_xy:
+            tokens.append(
+                {
+                    "text": word,
+                    "x": x,
+                    "y": y,
+                    "w": 14 * max(1, len(word)),
+                    "h": 28,
+                    "block": line_ctr,
+                    "par": 1,
+                    "line": 1,
+                }
+            )
+
+    def emit_checkbox(x: int, y: int, status: str, score: float):
+        row = {"x": x, "y": y, "w": C.TEMPLATE_W, "h": C.TEMPLATE_H,
+               "status": status, "score": round(score, 2)}
+        (ticked if status == "ticked" else empty).append(row)
+
+    y = 200 + r.randint(0, 40)
+    for sec in page_sections:
+        # --- section header line (anchor must start within first 10% of
+        # page width) ---
+        hx = 80 + r.randint(0, 100)
+        header_words = []
+        x = hx
+        for w in sec["section_name"].split():
+            word = _corrupt_il1(w, r) if r.random() < 0.20 else w
+            header_words.append((word, x))
+            x += 14 * max(1, len(word)) + 12
+        emit_line(header_words, y)
+        y += 70 + r.randint(0, 10)
+
+        # --- label rows (two columns) ---
+        labels = list(sec["labels"])
+        i = 0
+        while i < len(labels):
+            row_labels = labels[i : i + 2]
+            i += 2
+            row_y = y
+            for col, lbl in enumerate(row_labels):
+                if r.random() < 0.15:
+                    continue  # label absent on this doc -> 'missing'
+                lx = 400 + 1000 * col
+                cb_y = row_y + r.randint(-3, 3)
+                emit_checkbox(lx - 70, cb_y,
+                              "ticked" if r.random() < 0.5 else "empty",
+                              r.uniform(0.6, 0.99))
+                # near-duplicate template hit within the 5 px NMS radius
+                if r.random() < 0.30:
+                    emit_checkbox(lx - 70 + r.randint(1, 4), cb_y + r.randint(1, 4),
+                                  "ticked" if r.random() < 0.5 else "empty",
+                                  r.uniform(0.6, 0.99))
+                words = lbl.split()
+                wrap = len(words) > 1 and r.random() < 0.20
+                if wrap:
+                    # wrapped label: first word(s) on this line, remainder on
+                    # the next line at the same x (within the 160 px
+                    # multiline x-tolerance)
+                    head, tail = words[:1], words[1:]
+                else:
+                    head, tail = words, []
+                wx = lx
+                line_words = []
+                for w in head:
+                    word = _corrupt_il1(w, r) if r.random() < 0.15 else w
+                    line_words.append((word, wx))
+                    wx += 14 * max(1, len(word)) + 10
+                emit_line(line_words, row_y)
+                if tail:
+                    wx = lx + r.randint(0, 40)
+                    cont_words = []
+                    for w in tail:
+                        cont_words.append((w, wx))
+                        wx += 14 * max(1, len(w)) + 10
+                    emit_line(cont_words, row_y + 32)
+            # row spacing: usually inside the 50 px row-gap / 100 px section
+            # growth thresholds; occasionally a big gap that stops section
+            # growth (subsequent labels fall outside the region)
+            y += 140 if r.random() < 0.12 else 90
+        # noise line between sections (x > anchor threshold)
+        if r.random() < 0.5:
+            nx = 600 + r.randint(0, 800)
+            nwords = []
+            for w in r.sample(_NOISE_WORDS, r.randint(2, 4)):
+                nwords.append((w, nx))
+                nx += 14 * len(w) + 10
+            emit_line(nwords, y)
+            y += 60
+        y += 40 + r.randint(0, 30)
+
+    # assemble match seq: ticked (raster order) then empty (raster order)
+    ticked.sort(key=lambda m: (m["y"], m["x"]))
+    empty.sort(key=lambda m: (m["y"], m["x"]))
+    matches = []
+    for seq, m in enumerate(ticked + empty):
+        matches.append(dict(m, seq=seq))
+    for seq, t in enumerate(tokens):
+        t["tok_seq"] = seq
+    return tokens, matches
+
+
+def doc_spans(doc_id: str, skew: bool = False) -> list[dict]:
+    """Interleaved input spans for one document (input_hint shape)."""
+    r = _rng(doc_id, "spans")
+    n_pages = doc_page_count(doc_id, skew)
+    spans = []
+    off = 0
+
+    def text_span(text: str):
+        nonlocal off
+        spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
+        off += 1
+
+    text_span(" ".join(r.sample(_TEXT_WORDS, 4)) + f" {doc_id}")
+    for p in range(1, n_pages + 1):
+        if r.random() < 0.3:
+            text_span(" ".join(r.sample(_TEXT_WORDS, 3)))
+        spans.append(
+            {"kind": "pdf_page", "text": "", "media_ref": media_ref(doc_id, p), "offset": off}
+        )
+        off += 1
+    return spans
+
+
+def write_fixture_tables(out_dir: str, n_docs: int, skew: bool = False) -> list[str]:
+    """Write documents / ocr_tokens / checkbox_matches parquet via pyarrow.
+
+    Returns the list of doc_ids written. Uses plain pandas+pyarrow (no
+    Spark) so tests and bench setup stay cheap.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    doc_ids = [f"doc_{i:08d}" for i in range(n_docs)]
+
+    docs = pd.DataFrame({"doc_id": doc_ids,
+                         "spans": [doc_spans(d, skew) for d in doc_ids]})
+    docs.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+
+    tok_rows, match_rows = [], []
+    for d in doc_ids:
+        for p in range(1, doc_page_count(d, skew) + 1):
+            toks, matches = page_perception(d, p)
+            for t in toks:
+                tok_rows.append(dict(t, doc_id=d, page_no=p))
+            for m in matches:
+                match_rows.append(dict(m, doc_id=d, page_no=p))
+    pd.DataFrame(tok_rows).to_parquet(os.path.join(out_dir, "ocr_tokens.parquet"), index=False)
+    pd.DataFrame(match_rows).to_parquet(
+        os.path.join(out_dir, "checkbox_matches.parquet"), index=False
+    )
+    return doc_ids
