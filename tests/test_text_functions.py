@@ -1,0 +1,69 @@
+"""Unit tests for the scalar matcher library (SURVEY.md §2.8 F1-F8).
+
+Expectations hand-derived from the reference semantics
+(/root/reference/extractor.py:218-269)."""
+
+import re
+
+from pdf_parser_spark.functions import text as T
+
+
+def test_normalize_text():
+    assert T.normalize_text("Occasionally/Never") == "OCCASIONALLYNEVER"
+    assert T.normalize_text("  High Blood-Pressure ") == "HIGHBLOODPRESSURE"
+    assert T.normalize_text("123abc456") == "ABC"
+    assert T.normalize_text("***") == ""
+
+
+def test_ocr_norm_preserve_punct():
+    # keeps edge punctuation that F1 trims (Packs/Day fix)
+    assert T.ocr_norm_preserve_punct_upper("Packs/Day:") == "PACKSDAY:"
+    assert T.normalize_text("Packs/Day:") == "PACKSDAY"
+
+
+def test_flex_equal_il1():
+    # candidates are normalized (uppercased) strings, as in the pipeline;
+    # at expected-'I' positions the raw forms 'l'/'1' survive upper() as 'L'/'1'
+    assert T.flex_equal("Liver", "LIVER")
+    assert T.flex_equal("Liver", "L1VER")
+    assert T.flex_equal("Liver", "LlVER")
+    assert not T.flex_equal("Liver", "LXVER")
+    assert not T.flex_equal("Liver", "LIVE")
+    # 'I' flexibility only applies at expected-'I' positions
+    assert not T.flex_equal("Lever", "L1VER")
+
+
+def test_flex_contains_startswith():
+    assert T.flex_contains("ARE", "XAREX")
+    assert T.flex_startswith("ARE", "AREYOU")
+    assert not T.flex_startswith("ARE", "CAREYOU")
+    assert T.flex_contains("IODINE", "X" + "10DINE".replace("0", "ODINE")[:0] + "1ODINEX")
+
+
+def test_flex_regex_matches_python_form():
+    cases = [
+        ("Liver", "LIVER"), ("Liver", "L1VER"), ("Liver", "LLVER"),
+        ("Liver", "LXVER"), ("Iodine", "1ODINE"), ("Iodine", "IODINE"),
+        ("ARE", "AREYOU"), ("ARE", "CARE"),
+    ]
+    for expected, cand in cases:
+        pat = T.flex_regex(expected, "both")
+        assert bool(re.fullmatch(pat.strip("^$"), cand)) == T.flex_equal(expected, cand), (
+            expected, cand,
+        )
+        pat_s = T.flex_regex(expected, "start")
+        assert bool(re.match(pat_s, cand)) == T.flex_startswith(expected, cand)
+        pat_c = T.flex_regex(expected, "none")
+        assert bool(re.search(pat_c, cand)) == T.flex_contains(expected, cand)
+
+
+def test_oracle_and_engine_normalizers_agree():
+    from pdf_parser_spark.oracle import reference_oracle as O
+
+    words = ["Occasionally/Never", "LIver", "  x-y ", "Päck", "AB1", ""]
+    for w in words:
+        assert T.normalize_text(w) == O.normalize_text(w)
+        assert T.ocr_norm_preserve_punct_upper(w) == O.ocr_norm_preserve_punct_upper(w)
+    exp, mask = O.build_expected_masked_upper("High Iodine/Intake")
+    exp2, mask2 = T.expected_masked("High Iodine/Intake")
+    assert exp == exp2 and set(mask) == set(mask2)
