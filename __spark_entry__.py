@@ -1,38 +1,701 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on the sf0.001
+documents table (converted to the interleaved input_hint shape);
+``queries()``/``oracle_sql()`` expose one oracle-checked query per
+implemented operator family from SURVEY.md §2 plus the training-data
+operators (dedup / similarity / text analysis / multimodal).
+
+Column names are aliased identically in the Spark query and the DuckDB
+oracle; doubles are rounded (≤6 dp) so cross-engine summation-order
+ulp differences can't flip the driver's value hash; timestamps are
+projected to epoch microseconds.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import (
+    consecutive_dedup,
+    interval_containment_join,
+    lead_bound,
+    nearest_assign,
+    priority_dedupe,
+    sessionize,
+    topk_per_group,
+)
+from pdf_parser_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    word_shingles,
+)
+from pdf_parser_spark.operators.multimodal import media_metadata, media_metadata_sql
+from pdf_parser_spark.operators.similarity import bucketed_ann_topk, cosine_topk
+from pdf_parser_spark.operators.textstats import text_profile
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col: str):
+    """Timestamp column → epoch microseconds (testdata parquet reads as
+    TIMESTAMP_NTZ; cast through TIMESTAMP with the UTC session zone so
+    the integer equals DuckDB's epoch_us of the naive value)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf documents table → the input_hint interleaved shape: one text
+    span + one media span per doc (the synthetic perception decoder
+    derives deterministic page content from the media_ref key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("pdf_page").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media/"), F.col("doc_id").cast("string"), F.lit("/p1")).alias(
+                    "media_ref"
+                ),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 documents."""
+    from pdf_parser_spark.plans.extract import extract_spans
+
+    docs = _interleaved_docs(spark, "/root/testdata/sf0.001")
+    return extract_spans(docs, parallelism=8)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A family)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_A1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window family: sessionize (W1/W2), top-k (W6/O4), lead bound (J4/W9),
+# consecutive dedup (A8)
+# ---------------------------------------------------------------------------
+
+
+def q_w1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _us("ts").alias("us")
+    )
+    s = sessionize(ev, ["user_id"], "us", 1_800_000_000)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_W1_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS p FROM e),
+s AS (SELECT user_id,
+             sum(CASE WHEN p IS NOT NULL AND us - p > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM l)
+SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    top = topk_per_group(
+        ev, ["user_id"], [F.desc("value"), F.col("event_id")], 3, rank_col="rk"
+    )
+    return top.select(
+        "user_id", "event_id", F.round("value", 2).alias("value"), "rk"
+    ).orderBy("user_id", "rk")
+
+
+_W6_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value, rk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk <= 3 ORDER BY user_id, rk
+"""
+
+
+def q_w9_lead_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _us("ts").alias("us")
+    )
+    # window end = start + 1h, trimmed to next event start - 1s (the
+    # answer-window right-bound idiom J4/W9)
+    b = lead_bound(
+        ev.withColumn("end_us", F.col("us") + 3_600_000_000),
+        ["user_id"],
+        "us",
+        "end_us",
+        1_000_000,
+        F.col("us") + 3_600_000_000,
+        bound_col="bound_us",
+    )
+    return (
+        b.groupBy("user_id")
+        .agg(F.sum(F.col("bound_us") - F.col("us")).alias("covered_us"))
+        .orderBy("user_id")
+    )
+
+
+_W9_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             least(us + 3600000000,
+                   coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us) - 1000000,
+                            us + 3600000000)) AS bound_us
+      FROM e)
+SELECT user_id, sum(bound_us - us) AS covered_us FROM l GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_a8_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _us("ts").alias("us"), "event_type"
+    )
+    d = consecutive_dedup(ev, ["user_id"], "us", "event_type")
+    return d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("user_id")
+
+
+_A8_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+l AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      FROM e)
+SELECT user_id, count(*) AS n_kept FROM l
+WHERE prev IS NULL OR event_type <> prev
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join family: priority dedupe (J1/W3), containment (J2/P2), nearest (J3),
+# claimed anchor (J8)
+# ---------------------------------------------------------------------------
+
+
+def q_j1_priority_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    top = priority_dedupe(
+        li, ["l_orderkey"], [F.desc("l_extendedprice"), F.col("l_linenumber")]
+    )
+    return top.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("best_price")
+    ).orderBy("l_orderkey")
+
+
+_J1_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS best_price FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey
+"""
+
+
+def q_j2_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).withColumn("o_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    li2 = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    j = interval_containment_join(
+        li2, orders, ["o_orderkey"], "l_shipdate", "o_orderdate", "o_end"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_J2_SQL = """
+SELECT o_orderpriority, count(*) AS n_in_window
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_j3_nearest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nationkey"), "s_acctbal"
+    )
+    n = nearest_assign(
+        cust,
+        supp,
+        ["nationkey"],
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2),
+        ["c_custkey"],
+        tie_break=[F.col("s_suppkey")],
+    )
+    return n.select(
+        "c_custkey", "s_suppkey", F.col("_dist").alias("bal_dist")
+    ).orderBy("c_custkey")
+
+
+_J3_SQL = """
+SELECT c_custkey, s_suppkey, bal_dist FROM (
+  SELECT c_custkey, s_suppkey,
+         round(abs(c_acctbal - s_acctbal), 2) AS bal_dist,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY round(abs(c_acctbal - s_acctbal), 2), s_suppkey) AS rn
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+WHERE rn = 1 ORDER BY c_custkey
+"""
+
+
+def q_j8_claimed_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    first = priority_dedupe(orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")])
+    return first.select("o_custkey", "o_orderkey").orderBy("o_custkey")
+
+
+_J8_SQL = """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops (E3/E5), filters (P), sort/limit (O), flex match (F4-F6)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_e3_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("seen"))
+        .select(
+            "user_id",
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.array_except(
+                        F.array(*[F.lit(t) for t in _EVENT_TYPES]), F.col("seen")
+                    )
+                ),
+            ).alias("missing_types"),
+            F.size("seen").alias("n_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_E3_SQL = """
+SELECT user_id,
+       coalesce(array_to_string(
+         list_sort(list_filter(['click','error','purchase','signup','view'],
+                               t -> NOT list_contains(seen, t))), ','), '') AS missing_types,
+       len(seen) AS n_seen
+FROM (SELECT user_id, list_distinct(list(event_type)) AS seen FROM events GROUP BY user_id)
+ORDER BY user_id
+"""
+
+
+def q_p6_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity").between(10, 40)) & (F.col("l_discount") < 0.05))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+_P6_SQL = """
+SELECT l_returnflag, count(*) AS n_rows FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 40 AND l_discount < 0.05
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_o1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_O1_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_f4_flex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IL1-flex contains-match of 'ring' against part names (F5 form:
+    expected 'RING' compiled to R[IL1]NG — tolerates OCR I/l/1)."""
+    from pdf_parser_spark.functions.text import flex_regex
+
+    part = _t(spark, sf_dir, "part")
+    pat = flex_regex("ring", "none")
+    return (
+        part.filter(F.upper(F.col("p_name")).rlike(pat))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+_F4_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE regexp_matches(upper(p_name), 'R[IL1]NG') ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text profile, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_t1_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_T1_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens,
+       round(len(list_filter(w, x -> list_contains(
+           ['the','a','an','of','to','in','and','is','it','you','that','for','on','with','as','are','this','be','or','at'],
+           lower(x)))) / greatest(len(w), 1), 6) AS stop_ratio,
+       round(list_sum(list_transform(w, x -> length(x))) / greatest(len(w), 1), 6) AS mean_word_len,
+       round((
+         (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN round(len(list_filter(w, x -> list_contains(
+             ['the','a','an','of','to','in','and','is','it','you','that','for','on','with','as','are','this','be','or','at'],
+             lower(x)))) / greatest(len(w), 1), 6) BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN round(list_sum(list_transform(w, x -> length(x))) / greatest(len(w), 1), 6)
+               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6) AS quality,
+       CASE WHEN round(len(list_filter(w, x -> list_contains(
+           ['the','a','an','of','to','in','and','is','it','you','that','for','on','with','as','are','this','be','or','at'],
+           lower(x)))) / greatest(len(w), 1), 6) > 0.02 THEN 'en' ELSE 'unk' END AS lang_pred,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM d ORDER BY doc_id
+"""
+
+
+def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("content_hash")
+
+
+_D1_SQL = """
+SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS content_hash,
+       min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+_SHINGLE_CTE = """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, source,
+              list_sort(list_distinct(
+                [array_to_string(w[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(w) - 2, 0))])) AS shingles
+       FROM d)
+"""
+
+
+def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", 3)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", F.col("source"), 0.12)
+    return pairs.orderBy("id_a", "id_b")
+
+
+_D2_SQL = (
+    _SHINGLE_CTE
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles)) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+            6) >= 0.12
+ORDER BY id_a, id_b
+"""
+)
+
+
+def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", 3)
+    return minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.12).orderBy("id_a", "id_b")
+
+
+_D3_SQL = (
+    _SHINGLE_CTE
+    + """
+, flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (SELECT doc_id, r.i AS i,
+              min(CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', s)), 1, 15))
+                       AS BIGINT)) AS h
+       FROM flat CROSS JOIN range(12) r(i) GROUP BY doc_id, r.i),
+bands AS (SELECT doc_id, i // 3 AS band_id,
+                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_sig
+          FROM mh GROUP BY doc_id, i // 3),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
+             6) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+            (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
+            6) >= 0.12
+ORDER BY id_a, id_b
+"""
+)
+
+
+def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+h AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h FROM words),
+agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+def q_s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return cosine_topk(corpus, queries, "vec_id", "embedding", "query_id", "qv", 3).orderBy(
+        "query_id", "rk"
+    )
+
+
+_S1_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM pairs)
+SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
+def q_s2_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    return bucketed_ann_topk(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", 3, bits=6
+    ).orderBy("query_id", "rk")
+
+
+def _sign_bucket_sql(col: str, bits: int = 6) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+
+
+_S2_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                  {_sign_bucket_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_sign_bucket_sql('embedding')} AS bucket FROM embeddings),
+pairs AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM c JOIN q USING (bucket) WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM pairs)
+SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
+def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image").alias("media_kind"),
+    )
+
+
+def q_m1_media_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata_sql(
+        _payload_docs(spark, sf_dir), "doc_id", "payload", "media_kind"
+    ).orderBy("media_id")
+
+
+def q_m2_media_metadata_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata(
+        _payload_docs(spark, sf_dir), "doc_id", "payload", "media_kind"
+    ).orderBy("media_id")
+
+
+_M_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS media_kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE 64 + ascii(substr(text, 1, 1)) % 192 END AS INTEGER) AS width,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE 64 + ascii(substr(text, length(text), 1)) % 192 END AS INTEGER) AS height,
+       md5(text) AS checksum
+FROM documents ORDER BY media_id
+"""
+
+
+def q_x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extraction pipeline over interleaved docs derived from
+    the sf documents table. Geometry is not SQL-expressible → no oracle
+    entry (driver records rows-only); exact span parity is enforced by
+    tests/test_extract_parity.py against the reference oracle."""
+    from pdf_parser_spark.plans.extract import extract_spans
+
+    docs = _interleaved_docs(spark, sf_dir)
+    return extract_spans(docs, parallelism=16).orderBy("doc_id", "order")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "w1_sessionize": q_w1_sessionize,
+        "w6_topk_per_user": q_w6_topk_per_user,
+        "w9_lead_bound": q_w9_lead_bound,
+        "a8_consecutive_dedup": q_a8_consecutive_dedup,
+        "j1_priority_dedupe": q_j1_priority_dedupe,
+        "j2_interval_containment": q_j2_interval_containment,
+        "j3_nearest_assign": q_j3_nearest_assign,
+        "j8_claimed_anchor": q_j8_claimed_anchor,
+        "e3_completeness": q_e3_completeness,
+        "p6_filter_project": q_p6_filter_project,
+        "o1_top_orders": q_o1_top_orders,
+        "f4_flex_match": q_f4_flex_match,
+        "t1_text_profile": q_t1_text_profile,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_ngram_jaccard": q_d2_ngram_jaccard,
+        "d3_minhash_lsh": q_d3_minhash_lsh,
+        "d4_simhash": q_d4_simhash,
+        "s1_cosine_topk": q_s1_cosine_topk,
+        "s2_bucketed_ann": q_s2_bucketed_ann,
+        "m1_media_metadata_sql": q_m1_media_metadata_sql,
+        "m2_media_metadata_udf": q_m2_media_metadata_udf,
+        "x1_extract_spans": q_x1_extract_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_pricing_summary": _A1_SQL,
+        "w1_sessionize": _W1_SQL,
+        "w6_topk_per_user": _W6_SQL,
+        "w9_lead_bound": _W9_SQL,
+        "a8_consecutive_dedup": _A8_SQL,
+        "j1_priority_dedupe": _J1_SQL,
+        "j2_interval_containment": _J2_SQL,
+        "j3_nearest_assign": _J3_SQL,
+        "j8_claimed_anchor": _J8_SQL,
+        "e3_completeness": _E3_SQL,
+        "p6_filter_project": _P6_SQL,
+        "o1_top_orders": _O1_SQL,
+        "f4_flex_match": _F4_SQL,
+        "t1_text_profile": _T1_SQL,
+        "d1_exact_dedup": _D1_SQL,
+        "d2_ngram_jaccard": _D2_SQL,
+        "d3_minhash_lsh": _D3_SQL,
+        "d4_simhash": _simhash_sql(16),
+        "s1_cosine_topk": _S1_SQL,
+        "s2_bucketed_ann": _S2_SQL,
+        "m1_media_metadata_sql": _M_SQL,
+        "m2_media_metadata_udf": _M_SQL,
+        # x1_extract_spans: intentionally no oracle (non-SQL geometry)
+    }

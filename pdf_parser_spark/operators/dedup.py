@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact hash dedup, n-gram Jaccard, MinHash+LSH, and SimHash — all in
+pure Catalyst expressions (no Python UDFs), using an md5-derived hash
+so results are engine-independent (the same computation is expressible
+in ANSI SQL for the DuckDB oracle: ``CAST('0x'||substr(md5(x),1,15) AS
+BIGINT)``).
+
+Scale posture:
+- exact dedup: one shuffle on the content hash (not the content).
+- MinHash LSH: docs × H hashes stays narrow (per-row expression);
+  the only shuffle is the band-bucket self-join, whose fan-out is
+  bounded by band width; candidate pairs then verify Jaccard on the
+  (small) shingle arrays. This is the standard shingle→minhash→band→
+  bucket-join plan; at 10^12 docs each stage is linear and the join
+  key (band_id, band_sig) is high-cardinality → no skew hot spot.
+- SimHash: B per-row bit aggregates over exploded tokens → one
+  groupBy(doc) shuffle; near-dup = equal simhash (or banded XOR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit integer hash via md5 (cross-engine stable)."""
+    src = F.concat(F.lit(salt + ":"), col) if salt else col
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: group by content hash, keep min id as
+    canonical, count members. Shuffles hashes, not documents."""
+    return (
+        df.select(F.col(id_col), md5_long(F.col(content_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct sorted word n-gram shingles per row (pure expressions:
+    split → transform over a sequence of start offsets → distinct)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(shingles)))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    bucket_expr: Column,
+    threshold: float,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs within candidate buckets: self-join
+    on a blocking key (e.g. a length band or LSH band), Jaccard =
+    |∩| / |∪| over the distinct shingle arrays, keep pairs ≥ threshold.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(shingle_col).alias("sh_a"),
+        bucket_expr.alias("bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(shingle_col).alias("sh_b"),
+        bucket_expr.alias("bucket"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, shingle_col: str, num_hashes: int, out_col: str = "sig"
+) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of h_i(s), with
+    h_i(s) = md5_long(i || ':' || s). Narrow (per-row) computation."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(shingle_col),
+                    lambda s, i=i: F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+                    ).cast("bigint"),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (bands × rows),
+    bucket-join on (band_id, band signature), verify candidates with
+    true Jaccard. One shuffle (the band join) + dedupe of pairs."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, shingle_col, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(shingle_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"), "band_id", "band_sig"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"), "band_id", "band_sig"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per word token w, h(w) = md5_long(w); bit j
+    of the fingerprint is 1 iff sum over tokens of ±1 (by bit j of
+    h(w)) is positive. Explode → B conditional sums → one groupBy."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).withColumn("h", md5_long(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else (fp + term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))

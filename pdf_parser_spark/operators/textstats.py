@@ -1,0 +1,80 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python in
+the hot path; linear scans, no shuffle until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# function-word list for the n-gram/stopword language heuristic
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "you",
+    "that", "for", "on", "with", "as", "are", "this", "be", "or", "at",
+]
+
+
+def words_col(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text_col))
+
+
+def regex_token_count(text_col: str) -> Column:
+    """BPE-ish token count: word pieces + standalone punctuation."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_ratio(text_col: str) -> Column:
+    words = words_col(text_col)
+    stops = F.filter(words, lambda w: F.lower(w).isin(EN_STOPWORDS))
+    return F.round(F.size(stops) / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def mean_word_len(text_col: str) -> Column:
+    words = words_col(text_col)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.round(total / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def quality_score(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    word-length sanity (the usual pretraining-filter features)."""
+    n = token_count(text_col)
+    len_ok = F.when((n >= 10) & (n <= 5000), 1.0).otherwise(0.0)
+    stop = stopword_ratio(text_col)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.7), 1.0).otherwise(0.0)
+    mwl = mean_word_len(text_col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    return F.round((len_ok + stop_ok + mwl_ok) / 3.0, 6)
+
+
+def lang_id(text_col: str) -> Column:
+    """Stopword-density language heuristic: 'en' when English function
+    words exceed 2% of tokens, else 'unk'."""
+    return F.when(stopword_ratio(text_col) > 0.02, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text_col: str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (stable across engines)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        regex_token_count(text_col).alias("n_regex_tokens"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        mean_word_len(text_col).alias("mean_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,76 @@
+"""Driver-contract guard: a representative subset of queries() must
+match their oracle_sql() on DuckDB at sf0.001 (fast), exactly as the
+driver's correctness gate compares them (sorted columns, sorted rows,
+exact values). The full sweep lives in tools/selfcheck_entry.py."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# cheap-but-representative subset: one per operator family
+SUBSET = [
+    "a1_pricing_summary",
+    "w1_sessionize",
+    "j1_priority_dedupe",
+    "j3_nearest_assign",
+    "e3_completeness",
+    "f4_flex_match",
+    "d1_exact_dedup",
+    "d4_simhash",
+    "s1_cosine_topk",
+    "m1_media_metadata_sql",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _rows_equal(a, b):
+    if a is b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, con, name):
+    sdf = E.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(E.oracle_sql()[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            assert _rows_equal(x, y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    names = [f.name for f in df.schema.fields]
+    assert names == ["doc_id", "kind", "text", "media_ref", "order"]
+    assert df.count() > 0
+
+
+def test_every_query_has_callable():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # only genuinely non-SQL ops may omit an oracle
+    assert set(qs) - set(oracles) == {"x1_extract_spans"}
