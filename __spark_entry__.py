@@ -82,7 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pdf_parser_spark.plans.extract import extract_spans
 
     docs = _interleaved_docs(spark, "/root/testdata/sf0.001")
-    return extract_spans(docs, parallelism=8)
+    return extract_spans(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -496,10 +496,12 @@ _D3_SQL = (
     _SHINGLE_CTE
     + """
 , flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+base AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 1000000007 AS x
+         FROM flat),
 mh AS (SELECT doc_id, r.i AS i,
-              min(CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', s)), 1, 15))
-                       AS BIGINT)) AS h
-       FROM flat CROSS JOIN range(12) r(i) GROUP BY doc_id, r.i),
+              min(((2 * r.i + 3) * x + (12345 + 7 * r.i)) % 1000000007) AS h
+       FROM base CROSS JOIN range(12) r(i) GROUP BY doc_id, r.i),
 bands AS (SELECT doc_id, i // 3 AS band_id,
                  string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS band_sig
           FROM mh GROUP BY doc_id, i // 3),
@@ -642,7 +644,7 @@ def q_x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.plans.extract import extract_spans
 
     docs = _interleaved_docs(spark, sf_dir)
-    return extract_spans(docs, parallelism=16).orderBy("doc_id", "order")
+    return extract_spans(docs).orderBy("doc_id", "order")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,84 @@
+"""Headline benchmark (driver contract).
+
+Runs the flagship extraction pipeline plus representative operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "docs_per_sec": ..., "n_docs": ...}
+
+Each query is forced to full materialization with the noop sink (no
+driver-side collect cost). Extraction throughput (documents/sec — the
+north-rule metric) is derived from the extraction query's timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+    import __spark_entry__ as E
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    headline = names or [
+        "x1_extract_spans",
+        "a1_pricing_summary",
+        "w1_sessionize",
+        "j1_priority_dedupe",
+        "j3_nearest_assign",
+        "d1_exact_dedup",
+        "d3_minhash_lsh",
+        "d4_simhash",
+        "t1_text_profile",
+        "s1_cosine_topk",
+        "m2_media_metadata_udf",
+    ]
+    # warm-up: spin up executor threads + the Python UDF worker pool so
+    # timings measure steady-state throughput, not process startup
+    import pandas as pd
+
+    warm = spark.range(0, cpus * 4, 1, cpus)
+    warm.mapInPandas(lambda it: (pdf for pdf in it), schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    extract_sec = timings.get("x1_extract_spans")
+    docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline suite wall time (extraction + operator queries)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cpus)))

@@ -270,7 +270,7 @@ def write_fixture_tables(out_dir: str, n_docs: int, skew: bool = False) -> list[
 
     docs = pd.DataFrame({"doc_id": doc_ids,
                          "spans": [doc_spans(d, skew) for d in doc_ids]})
-    docs.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+    docs.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False, row_group_size=500)
 
     tok_rows, match_rows = [], []
     for d in doc_ids:

@@ -29,6 +29,10 @@ def nfkd_strip_controls(text: str) -> str:
     return "".join(c for c in t if unicodedata.category(c)[0] != "C")
 
 
+# normalize_text / ocr_norm are the geometry kernel's hottest scalar
+# calls (every token × every label comparison). OCR vocabularies are
+# highly repetitive, so memoization turns the NFKD pass into a dict hit.
+@lru_cache(maxsize=65536)
 def normalize_text(text: str) -> str:
     """F1: NFKD → strip controls → drop '/',' ','-' → trim non-alpha ends → upper."""
     t = nfkd_strip_controls(text)
@@ -38,6 +42,7 @@ def normalize_text(text: str) -> str:
     return t.upper()
 
 
+@lru_cache(maxsize=65536)
 def ocr_norm_preserve_punct_upper(text: str) -> str:
     """F7: like F1 but without the alpha edge-trim."""
     t = nfkd_strip_controls(text)
@@ -80,6 +85,7 @@ def flex_regex(expected: str, anchor: str = "both") -> str:
     return body
 
 
+@lru_cache(maxsize=262144)
 def flex_equal(expected: str, candidate: str) -> bool:
     """F4 on a raw (pre-normalized) candidate string."""
     exp, mask = expected_masked(expected)
@@ -94,6 +100,7 @@ def flex_equal(expected: str, candidate: str) -> bool:
     return True
 
 
+@lru_cache(maxsize=262144)
 def flex_contains(expected: str, haystack: str) -> bool:
     """F5: any substring of haystack flex-equals expected."""
     exp, _ = expected_masked(expected)
@@ -103,6 +110,7 @@ def flex_contains(expected: str, haystack: str) -> bool:
     return any(flex_equal(expected, haystack[i : i + m]) for i in range(len(haystack) - m + 1))
 
 
+@lru_cache(maxsize=262144)
 def flex_startswith(expected: str, haystack: str) -> bool:
     """F6: prefix flex-equality."""
     exp, _ = expected_masked(expected)

@@ -87,25 +87,43 @@ def jaccard_pairs(
     )
 
 
+# affine MinHash family over a prime field: h_i(x) = (a_i*x + b_i) mod P
+# with x = md5_long(shingle) mod P — ONE md5 per shingle, the i-th hash
+# is two integer ops (the classic universal-hashing construction).
+MINHASH_PRIME = 1_000_000_007
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    # deterministic small odd coefficients; a_i < P keeps a_i*x < 2^63
+    return [(2 * i + 3, 12_345 + 7 * i) for i in range(num_hashes)]
+
+
 def minhash_signature(
     df: DataFrame, shingle_col: str, num_hashes: int, out_col: str = "sig"
 ) -> DataFrame:
-    """MinHash signature: sig[i] = min over shingles of h_i(s), with
-    h_i(s) = md5_long(i || ':' || s). Narrow (per-row) computation."""
+    """MinHash signature: sig[i] = min over shingles of h_i(s). Narrow
+    (per-row) computation; one md5 per shingle, then the affine family."""
+    base = F.transform(
+        F.col(shingle_col),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+    with_base = df.withColumn("_mh_base", base)
+
+    def affine(a: int, b: int):
+        return lambda x: F.pmod(
+            F.lit(a).cast("bigint") * x + F.lit(b), F.lit(MINHASH_PRIME)
+        )
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col(shingle_col),
-                    lambda s, i=i: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                    ).cast("bigint"),
-                )
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("_mh_base"), affine(a, b)))
+            for a, b in _minhash_coeffs(num_hashes)
         ]
     )
-    return df.withColumn(out_col, sig)
+    return with_base.withColumn(out_col, sig).drop("_mh_base")
 
 
 def minhash_lsh_pairs(

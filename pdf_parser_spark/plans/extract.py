@@ -2,15 +2,20 @@
 
     documents ──explode──▶ media_pages ──repartition(RR)──▶ perceive()
         │                                (skew by granularity)   │
-        │ (doc rows: spans)                 (tokens+matches per page)
+        │ mapInPandas: pack spans            (binary payload per page)
         ▼                                                        ▼
-        └────────────── cogroup by doc_id ── applyInPandas ──▶ out spans
+        └── union ── repartition(doc_id) ── sortWithinPartitions ──▶
+                     streaming mapInPandas assembly ──▶ out spans
 
-Exactly ONE shuffle pair (the cogroup), and it moves token/match rows,
-never page pixels. Geometry is per-doc sequential (order-defined greedy
-semantics, SURVEY.md §7.4.1) inside the grouped-map kernel; documents
-are the parallel unit — at 10^12 docs the job is embarrassingly
-parallel and scales linearly with executors.
+Exactly ONE shuffle (the doc_id repartition), moving opaque binary
+token payloads — never page pixels, never nested Arrow structs. The
+assembly is a sort-merge streaming group: rows of one doc arrive
+consecutively (header row page_no=0 carries the doc's input spans),
+so grouping is a plain Python loop with zero per-group pandas
+machinery — the per-group cost that dominates grouped-map APIs when
+documents are small (10^12-doc regime). Geometry is per-doc sequential
+(order-defined greedy semantics, SURVEY.md §7.4.1); documents are the
+parallel unit — the job is embarrassingly parallel across executors.
 
 Cross-page state (remaining-label bookkeeping, reference
 /root/reference/extractor.py:978-1056) lives inside one doc's group —
@@ -32,7 +37,7 @@ from pyspark.sql import functions as F
 from pdf_parser_spark import config as C
 from pdf_parser_spark.plans import geometry as G
 from pdf_parser_spark.schemas import OUT_SPANS_SCHEMA
-from pdf_parser_spark.sources.decoder import perceive
+from pdf_parser_spark.sources.decoder import PERCEPTION_SCHEMA as PERCEPTION_TRANSPORT_SCHEMA, perceive
 from pdf_parser_spark.sources.documents import media_pages
 
 
@@ -115,25 +120,92 @@ def _as_dicts(cell) -> list[dict]:
     return [dict(el) for el in cell]
 
 
-def _assemble_factory(sections: list[dict]):
-    def assemble(perc: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
-        rows: list[tuple[str, str, str, str, int]] = []
-        # cogroup key = doc_id; either side may be empty (doc with no
-        # media spans, or media with a missing doc row)
-        if len(docs) == 0:
-            return pd.DataFrame(columns=["doc_id", "kind", "text", "media_ref", "order"])
-        for _, doc_row in docs.iterrows():
-            doc_id = doc_row["doc_id"]
-            pages = {
-                int(p): (_as_dicts(t), _as_dicts(m))
-                for p, t, m in zip(perc["page_no"], perc["tokens"], perc["matches"])
-            }
-            spans = _as_dicts(doc_row["spans"])
-            for kind, text, media_ref, order in extract_document(spans, pages, sections):
-                rows.append((doc_id, kind, text, media_ref, order))
-        return pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref", "order"])
+_OUT_COLS = ["doc_id", "kind", "text", "media_ref", "order"]
 
-    return assemble
+
+def _pack_docs(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Doc rows → (doc_id, page_no=0, payload=pickled span list):
+    the doc-header row of the sort-merge stream."""
+    import pickle
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        payloads = [
+            pickle.dumps(_as_dicts(spans), protocol=5) for spans in pdf["spans"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "page_no": pd.Series([0] * len(pdf), dtype="int32"),
+                "payload": payloads,
+            }
+        )
+
+
+def _assemble_stream_factory(sections: list[dict]):
+    """Streaming group-by-consecutive-doc assembly: rows arrive sorted
+    (doc_id, page_no) within each partition — the header row (page_no=0,
+    the doc's input spans) followed by its perception pages. No
+    per-group pandas machinery: one Python loop over Arrow batches."""
+    import pickle
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        state = {"doc": None, "spans": None, "pages": {}}
+        out_rows: list[tuple] = []
+
+        def flush():
+            if state["doc"] is not None and state["spans"] is not None:
+                for kind, text, media_ref, order in extract_document(
+                    state["spans"], state["pages"], sections
+                ):
+                    out_rows.append((state["doc"], kind, text, media_ref, order))
+
+        for pdf in batches:
+            for doc_id, page_no, payload in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["payload"]
+            ):
+                if doc_id != state["doc"]:
+                    flush()
+                    state["doc"] = doc_id
+                    state["spans"] = None
+                    state["pages"] = {}
+                if page_no == 0:
+                    state["spans"] = pickle.loads(bytes(payload))
+                else:
+                    state["pages"][int(page_no)] = pickle.loads(bytes(payload))
+            if len(out_rows) >= 20000:
+                yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+                out_rows = []
+        flush()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+    return run
+
+
+def _fused_factory(sections: list[dict], decoder: str):
+    """Fused per-doc pipeline: decode + geometry + flattening in one
+    narrow pass (no shuffle). Used when decode cost ≪ transport cost."""
+    import pickle as _p  # noqa: F401  (parity of imports with stream path)
+
+    from pdf_parser_spark.sources.decoder import decode_pages_for_doc
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            for doc_id, spans_cell in zip(pdf["doc_id"], pdf["spans"]):
+                spans = _as_dicts(spans_cell)
+                pages = decode_pages_for_doc(str(doc_id), spans, decoder)
+                for kind, text, media_ref, order in extract_document(spans, pages, sections):
+                    out_rows.append((doc_id, kind, text, media_ref, order))
+                if len(out_rows) >= 20000:
+                    yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+                    out_rows = []
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+    return run
 
 
 def extract_spans(
@@ -141,20 +213,54 @@ def extract_spans(
     sections: list[dict] | None = None,
     decoder: str = "synthetic",
     parallelism: int | None = None,
+    mode: str = "fused",
 ) -> DataFrame:
-    """documents → flat output-span rows (doc_id, kind, text, media_ref, order)."""
+    """documents → flat output-span rows (doc_id, kind, text, media_ref, order).
+
+    Two physical modes — a cost-based decode-placement choice (the
+    UDF-stage analogue of Catalyst picking broadcast vs shuffle join):
+
+    - ``mode="fused"`` (default): decode + geometry + flattening in ONE
+      narrow mapInPandas over doc rows — ZERO shuffles, embarrassingly
+      parallel. Correct choice when per-page decode cost is small
+      relative to moving its output (synthetic decoder, pre-OCR'd
+      tokens, cached perception). Skew bounded by scan-split size and
+      the round-robin balance repartition.
+    - ``mode="paged"``: page-granular decode stage (round-robin
+      balanced, so one 500-page doc fans out across tasks), then ONE
+      shuffle keyed by doc_id with opaque binary payloads, sorted
+      within partitions, and a streaming sort-merge assembly (no
+      per-group pandas machinery). Correct choice when decode is the
+      dominant cost (real rasterize+OCR kernels at 1-3 s/page) and a
+      multi-hundred-page doc must not serialize one task.
+    """
     if sections is None:
         from pdf_parser_spark.fixtures.generator import form_schema
 
         sections = form_schema()
 
+    spark = docs.sparkSession
+    n_parts = parallelism or spark.sparkContext.defaultParallelism
+
+    if mode == "fused":
+        balanced = docs.repartition(n_parts)
+        return balanced.mapInPandas(
+            _fused_factory(sections, decoder), schema=OUT_SPANS_SCHEMA
+        )
+
     pages = media_pages(docs)
     perc = perceive(pages, decoder=decoder, parallelism=parallelism)
-    return (
-        perc.groupBy("doc_id")
-        .cogroup(docs.groupBy("doc_id"))
-        .applyInPandas(_assemble_factory(sections), schema=OUT_SPANS_SCHEMA)
+    # repartition before packing: a documents table often arrives as few
+    # large files; packing must not serialize on the file count
+    headers = docs.repartition(n_parts).mapInPandas(
+        _pack_docs, schema=PERCEPTION_TRANSPORT_SCHEMA
     )
+    stream = (
+        perc.unionByName(headers)
+        .repartition(n_parts, F.col("doc_id"))
+        .sortWithinPartitions("doc_id", "page_no")
+    )
+    return stream.mapInPandas(_assemble_stream_factory(sections), schema=OUT_SPANS_SCHEMA)
 
 
 def extract_spans_nested(out_flat: DataFrame) -> DataFrame:

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -71,34 +72,34 @@ MATCH_STRUCT = StructType(
     ]
 )
 
+# Perception transport: the (tokens, matches) payload crosses the one
+# shuffle of the pipeline as an opaque pickled binary column. Nested
+# array<struct> transport through Arrow→pandas materializes per-element
+# Python dicts on both sides of every boundary — measured ~3-5× the
+# cost of the geometry itself — while a binary blob is a straight
+# memcpy. The relational OCR-token view (`tokens_relation`) explodes
+# the payload into the flat columnar table when relational access is
+# wanted; the extraction hot path never pays for it.
 PERCEPTION_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
         StructField("page_no", IntegerType()),
-        StructField("tokens", ArrayType(TOKEN_STRUCT)),
-        StructField("matches", ArrayType(MATCH_STRUCT)),
+        StructField("payload", BinaryType()),
     ]
 )
 
-_TOKEN_FIELDS = [f.name for f in TOKEN_STRUCT.fields]
-_MATCH_FIELDS = [f.name for f in MATCH_STRUCT.fields]
-
 
 def _synthetic_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    import pickle
+
     from pdf_parser_spark.fixtures.generator import page_perception
 
-    out_tokens, out_matches = [], []
+    payloads = []
     for doc_id, page_no in zip(pdf["doc_id"], pdf["page_no"]):
         toks, matches = page_perception(str(doc_id), int(page_no))
-        out_tokens.append([tuple(t[f] for f in _TOKEN_FIELDS) for t in toks])
-        out_matches.append([tuple(m[f] for f in _MATCH_FIELDS) for m in matches])
+        payloads.append(pickle.dumps((toks, matches), protocol=5))
     return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "page_no": pdf["page_no"],
-            "tokens": out_tokens,
-            "matches": out_matches,
-        }
+        {"doc_id": pdf["doc_id"], "page_no": pdf["page_no"], "payload": payloads}
     )
 
 
@@ -140,6 +141,50 @@ def perceive(pages: DataFrame, decoder: str = "synthetic", parallelism: int | No
                 for start in range(0, len(pdf), 256):
                     yield decode(pdf.iloc[start : start + 256])
 
-    if parallelism:
-        pages = pages.repartition(parallelism)
+    if parallelism is None:
+        # default: 2 waves per core — page-granular rows spread a skewed
+        # multi-hundred-page doc across many tasks (R13, SURVEY.md §4)
+        parallelism = pages.sparkSession.sparkContext.defaultParallelism * 2
+    pages = pages.repartition(parallelism)
     return pages.mapInPandas(run, schema=PERCEPTION_SCHEMA)
+
+
+def decode_pages_for_doc(doc_id: str, spans: list[dict], decoder: str = "synthetic"):
+    """Doc-local decode for the fused pipeline mode: media spans (in
+    offset order) → {page_no: (tokens, matches)}. The synthetic decoder
+    derives perception deterministically from (doc_id, page_no); the
+    native decoder would rasterize+OCR the bytes behind media_ref."""
+    if decoder != "synthetic":
+        raise NotImplementedError("fused mode currently supports the synthetic decoder")
+    from pdf_parser_spark.fixtures.generator import page_perception
+
+    media = [s for s in sorted(spans, key=lambda s: s["offset"]) if s["kind"] != "text"]
+    return {i + 1: page_perception(doc_id, i + 1) for i in range(len(media))}
+
+
+def tokens_relation(perception: DataFrame) -> DataFrame:
+    """Perception rows → the flat columnar OCR-token relation
+    (SURVEY.md §1.1: the engine's central fact table), for relational
+    consumers; the extraction hot path keeps the packed payload."""
+    import pickle
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("page_no", IntegerType())]
+        + list(TOKEN_STRUCT.fields)
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, page_no, payload in zip(pdf["doc_id"], pdf["page_no"], pdf["payload"]):
+                toks, _ = pickle.loads(bytes(payload))
+                for t in toks:
+                    rows.append(
+                        (doc_id, page_no, t["tok_seq"], t["text"], t["x"], t["y"],
+                         t["w"], t["h"], t["block"], t["par"], t["line"])
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return perception.mapInPandas(explode, schema=out_schema)

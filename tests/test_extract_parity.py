@@ -45,9 +45,10 @@ def test_local_engine_matches_oracle():
         assert got == exp, f"span mismatch for {doc_id}"
 
 
-def test_spark_pipeline_matches_oracle(spark, fixture_dir):
+@pytest.mark.parametrize("mode", ["fused", "paged"])
+def test_spark_pipeline_matches_oracle(spark, fixture_dir, mode):
     docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
-    out = extract_spans(docs, parallelism=8)
+    out = extract_spans(docs, parallelism=8, mode=mode)
     rows = out.collect()
     by_doc: dict[str, list] = {}
     for r in rows:
