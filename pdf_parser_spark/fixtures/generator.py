@@ -63,6 +63,34 @@ _FORM_SCHEMA = [
         "section_name": "ALLERGIES",
         "labels": ["Penicillin", "Sulfa Drugs", "Latex", "Iodine"],
     },
+    {
+        # questions-only section: same-row pairs (right-bound trims),
+        # zip sanitization, yes/no reminder question with highlight /
+        # checkbox-pair / follow-up inference fallbacks
+        "section_rank": 4,
+        "section_name": "CONTACT DETAILS",
+        "questions": [
+            "First Name",
+            "Last Name",
+            "Email Address",
+            "Zip Code",
+            "Would you like to receive automatic appointment reminders? "
+            "Please reply yes or no to our messages.",
+            "If yes, which provider do you prefer?",
+        ],
+    },
+    {
+        # duplicate questions in order (ordinal claiming, J9) + narrative
+        # multi-line answers (continuation window W7)
+        "section_rank": 5,
+        "section_name": "FAMILY HISTORY",
+        "questions": [
+            "Relationship",
+            "Medical Conditions",
+            "Relationship",
+            "Medical Conditions",
+        ],
+    },
 ]
 
 _NOISE_WORDS = [
@@ -78,7 +106,49 @@ _TEXT_WORDS = [
 
 def form_schema() -> list[dict]:
     """The broadcastable form schema (list of section dicts)."""
-    return [dict(s, labels=list(s["labels"])) for s in _FORM_SCHEMA]
+    return [
+        dict(
+            s,
+            labels=list(s.get("labels") or []) or None,
+            questions=list(s.get("questions") or []) or None,
+        )
+        for s in _FORM_SCHEMA
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Perception environment model shared by oracle and engine: deterministic
+# crop re-OCR and highlight-OCR stand-ins. Crop re-OCR returns only tokens
+# whose boxes lie FULLY inside the crop (models glyph cut-off at crop
+# edges → re-OCR non-idempotence, reference response_extractor.py:715-733,
+# 1462-1471); highlight-OCR returns the highlight's text when its point
+# falls inside the padded probe box (models the HSV-mask recovery,
+# response_extractor.py:822-869).
+# ---------------------------------------------------------------------------
+
+
+def crop_tokens(tokens: list[dict], x0: int, y0: int, x1: int, y1: int) -> list[dict]:
+    """Synthetic crop re-OCR: tokens fully inside the rect, coords
+    shifted to crop space."""
+    out = []
+    for t in tokens:
+        if t["x"] >= x0 and t["x"] + t["w"] <= x1 and t["y"] >= y0 and t["y"] + t["h"] <= y1:
+            out.append(dict(t, x=t["x"] - x0, y=t["y"] - y0))
+    return out
+
+
+def highlight_ocr(highlights: list[dict], box: dict) -> str:
+    """Synthetic highlight recovery: pad the box like the reference
+    (±15 x, ±12 y), return the first highlight whose anchor point falls
+    inside; '' when none."""
+    xs = box["x_start"] - 15
+    ys = box["y_start"] - 12
+    xe = box["x_end"] + 15
+    ye = box["y_end"] + 12
+    for hl in highlights:
+        if xs <= hl["x"] <= xe and ys <= hl["y"] <= ye:
+            return hl["value"]
+    return ""
 
 
 def _rng(*key) -> random.Random:
@@ -149,6 +219,95 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
                "status": status, "score": round(score, 2)}
         (ticked if status == "ticked" else empty).append(row)
 
+    highlights: list[dict] = []
+
+    def emit_question_line(qtext: str, x: int, ly: int) -> None:
+        wx = x
+        words_xy = []
+        for w in qtext.split():
+            words_xy.append((w, wx))
+            wx += 14 * max(1, len(w)) + 10
+        emit_line(words_xy, ly)
+
+    def emit_question_section(sec: dict, y0: int) -> int:
+        """Question-section layout hitting the answer-geometry cases
+        (FIXTURES.md §6): same-row pairs with right-bound trims, a token
+        bleeding past the bound (strict-pruning case), zip sanitization,
+        a wrapped yes/no question with highlight / checkbox-pair /
+        follow-up fallbacks, duplicate questions, narrative multi-line
+        answers with W7 continuation."""
+        y = y0
+        if sec["section_name"] == "CONTACT DETAILS":
+            # row 1: same-row pair (Δy=0 → right bound = next q x - 5)
+            emit_question_line("First Name", 150, y)
+            emit_question_line("Last Name", 1300, y)
+            emit_line([("John", 160)], y + 45)
+            if r.random() < 0.5:
+                # token bleeding past First Name's right bound (x=1200,
+                # w=168 → extends past 1295): captured by the x-left
+                # window test, removed by strict-pruning crop re-OCR
+                emit_line([("bleedingtoken", 1200)], y + 46)
+            emit_line([("Smith", 1310), ("Jr", 1400)], y + 44)
+            y += 140
+            # row 2: near-row pair (Δy=18: outside the 12px row tolerance,
+            # inside the 24px trim tolerance → page-width bound first,
+            # second-pass x_end trim after)
+            emit_question_line("Email Address", 150, y)
+            emit_question_line("Zip Code", 1300, y + 18)
+            emit_line([("user@gmail.com", 160)], y + 45)
+            emit_line([("12345-6789", 1310), ("leak@mail.com", 1480)], y + 63)
+            y += 160
+            # wrapped yes/no reminder question (multiline segments)
+            emit_question_line("Would you like to receive automatic appointment", 150, y)
+            emit_question_line("reminders? Please reply yes or no to our messages.", 155, y + 32)
+            last_seg_y = y + 32
+            variant = r.random()
+            if variant < 0.25:
+                # (a) direct text answer in the fixed band
+                emit_line([("Yes" if r.random() < 0.6 else "No", 160)], last_seg_y + 45)
+            elif variant < 0.5:
+                # (c) checkbox pair in the inference band [last_seg_y-20, +70]
+                cb_y = last_seg_y + 25 + r.randint(0, 20)
+                left_ticked = r.random() < 0.5
+                emit_checkbox(160, cb_y, "ticked" if left_ticked else "empty",
+                              r.uniform(0.7, 0.95))
+                emit_checkbox(260, cb_y, "empty" if left_ticked else "ticked",
+                              r.uniform(0.7, 0.95))
+            y = last_seg_y + 170
+            # follow-up provider question ("If yes…?" is a yes/no-looking
+            # question): (b) sometimes unanswered-with-highlight →
+            # exercises base/slide/probe highlight recovery, and its
+            # recovered answer feeds the follow-up inference for the
+            # reminder question; otherwise a plain text answer
+            emit_question_line("If yes, which provider do you prefer?", 150, y)
+            pv = r.random()
+            if pv < 0.4:
+                # highlight at base / slide / probe distance below the
+                # question line (base band = [y+40, y+80] ±12 pad)
+                hl_dy = r.choice([50, 20, 130])
+                highlights.append(
+                    {"x": 300, "y": y + hl_dy, "value": "Yes" if r.random() < 0.5 else "No"}
+                )
+            elif pv < 0.9:
+                emit_line([("Dr", 160), ("Patel", 200)], y + 45)
+            # else: provider unanswered → reminder may end with no answer
+            y += 170
+        else:  # FAMILY HISTORY
+            for pair in range(2):
+                emit_question_line("Relationship", 150, y)
+                emit_question_line("Medical Conditions", 1300, y)
+                emit_line([("Mother" if pair == 0 else "Father", 160)], y + 45)
+                emit_line([("Diabetes", 1310), ("and", 1440), ("hypertension", 1500)], y + 45)
+                if pair == 0:
+                    # narrative continuation wrap: +40 below the first
+                    # answer baseline — inside the W7 continuation
+                    # window (10, 50] but BELOW the fixed band bottom,
+                    # so the dynamic y_end extension must fire for the
+                    # strict-pruning re-OCR to keep these tokens
+                    emit_line([("diagnosed", 1310), ("early", 1460)], y + 45 + 40)
+                y += 170
+        return y + 40
+
     y = 200 + r.randint(0, 40)
     for sec in page_sections:
         # --- section header line (anchor must start within first 10% of
@@ -162,6 +321,10 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
             x += 14 * max(1, len(word)) + 12
         emit_line(header_words, y)
         y += 70 + r.randint(0, 10)
+
+        if sec.get("questions"):
+            y = emit_question_section(sec, y)
+            continue
 
         # --- label rows (two columns) ---
         labels = list(sec["labels"])
@@ -229,7 +392,7 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
         matches.append(dict(m, seq=seq))
     for seq, t in enumerate(tokens):
         t["tok_seq"] = seq
-    return tokens, matches
+    return tokens, matches, highlights
 
 
 def doc_spans(doc_id: str, skew: bool = False) -> list[dict]:
@@ -272,16 +435,21 @@ def write_fixture_tables(out_dir: str, n_docs: int, skew: bool = False) -> list[
                          "spans": [doc_spans(d, skew) for d in doc_ids]})
     docs.to_parquet(os.path.join(out_dir, "documents.parquet"), index=False, row_group_size=500)
 
-    tok_rows, match_rows = [], []
+    tok_rows, match_rows, hl_rows = [], [], []
     for d in doc_ids:
         for p in range(1, doc_page_count(d, skew) + 1):
-            toks, matches = page_perception(d, p)
+            toks, matches, highlights = page_perception(d, p)
             for t in toks:
                 tok_rows.append(dict(t, doc_id=d, page_no=p))
             for m in matches:
                 match_rows.append(dict(m, doc_id=d, page_no=p))
+            for hl in highlights:
+                hl_rows.append(dict(hl, doc_id=d, page_no=p))
     pd.DataFrame(tok_rows).to_parquet(os.path.join(out_dir, "ocr_tokens.parquet"), index=False)
     pd.DataFrame(match_rows).to_parquet(
         os.path.join(out_dir, "checkbox_matches.parquet"), index=False
+    )
+    pd.DataFrame(hl_rows, columns=["doc_id", "page_no", "x", "y", "value"]).to_parquet(
+        os.path.join(out_dir, "highlights.parquet"), index=False
     )
     return doc_ids

@@ -567,21 +567,36 @@ def assign_checkboxes_sectionwise(checkboxes, sections, label_positions, section
 # ---------------------------------------------------------------------------
 
 
+def _page_tuple(pages, page_no):
+    entry = pages.get(page_no)
+    if entry is None:
+        return [], [], []
+    if len(entry) == 2:  # back-compat: no highlights
+        return entry[0], entry[1], []
+    return entry
+
+
 def extract_document_pages(
-    pages: dict[int, tuple[list[dict], list[dict]]],
+    pages: dict[int, tuple],
     sections: list[dict],
-) -> dict[int, list[dict]]:
-    """pages: page_no -> (tokens, raw matches). Returns page_no ->
-    sections_data, with the reference's cross-page remaining-label
-    bookkeeping (extractor.py:978-1056)."""
+) -> tuple[dict[int, list[dict]], dict[int, list[dict]]]:
+    """pages: page_no -> (tokens, raw matches[, highlights]). Returns
+    (page_no -> sections_data, page_no -> responses_data), with the
+    reference's cross-page remaining-label AND remaining-question
+    bookkeeping (extractor.py:978-1056, 1062-1114)."""
+    from pdf_parser_spark.oracle.response_oracle import extract_page_responses
+
     n_pages = max(pages) if pages else 0
     label_sections = [s for s in sections if s.get("labels")]
     remaining = {s["section_name"]: set(s["labels"]) for s in label_sections}
     completed: set[str] = set()
+    remaining_questions: dict[str, list[str]] = {}
+    completed_questions: set[str] = set()
     result: dict[int, list[dict]] = {}
+    responses: dict[int, list[dict]] = {}
 
     for page_no in range(1, n_pages + 1):
-        tokens, raw_matches = pages.get(page_no, ([], []))
+        tokens, raw_matches, highlights = _page_tuple(pages, page_no)
         checkboxes = deduplicate_matches(raw_matches)
 
         labels_to_search: list[str] = []
@@ -597,7 +612,7 @@ def extract_document_pages(
             active_sections.append(sec)
             labels_to_search.extend(sorted(rem))
 
-        next_tokens = pages.get(page_no + 1, (None, None))[0] if page_no < n_pages else None
+        next_tokens = _page_tuple(pages, page_no + 1)[0] if page_no < n_pages else None
         label_positions = get_label_positions(tokens, labels_to_search, next_tokens)
         section_regions = detect_section_regions(tokens, sections, checkboxes)
 
@@ -620,19 +635,58 @@ def extract_document_pages(
         result[page_no] = assign_checkboxes_sectionwise(
             checkboxes, active_sections, label_positions, section_regions
         )
-    return result
+
+        # --- question/answer layer (extractor.py:1062-1114) ---
+        if page_no == 1:
+            for sec in sections:
+                qs = sec.get("questions") or []
+                if qs:
+                    remaining_questions[sec["section_name"]] = list(qs)
+        question_sections_active = []
+        for sec in sections:
+            sname = sec["section_name"]
+            qs = sec.get("questions") or []
+            if not qs or sname in completed_questions:
+                continue
+            rem_qs = remaining_questions.get(sname, [])
+            if not rem_qs:
+                completed_questions.add(sname)
+                continue
+            question_sections_active.append(dict(sec, questions=list(rem_qs)))
+
+        responses_data = extract_page_responses(
+            tokens,
+            question_sections_active,
+            section_regions,
+            checkboxes=checkboxes,
+            highlights=highlights,
+            next_page_tokens=next_tokens,
+        )
+        for sec in responses_data or []:
+            sname = sec.get("section")
+            for q in sec.get("questions", []):
+                qt = q.get("question")
+                rem_list = remaining_questions.get(sname, [])
+                if qt in rem_list:
+                    rem_list.remove(qt)
+                    remaining_questions[sname] = rem_list
+            if not remaining_questions.get(sname):
+                completed_questions.add(sname)
+        responses[page_no] = responses_data
+    return result, responses
 
 
 def extract_document_spans(
     doc_spans: list[dict],
-    pages: dict[int, tuple[list[dict], list[dict]]],
+    pages: dict[int, tuple],
     sections: list[dict],
 ) -> list[tuple[str, str, str, int]]:
     """Canonical flattening (SURVEY.md §7.2): walk input spans in offset
     order; 'text' spans pass through; each media span contributes its
-    page's section + checkbox spans (text = 'label:status'), media_ref =
-    the page ref, order = running counter."""
-    page_data = extract_document_pages(pages, sections)
+    page's section + checkbox spans (text = 'label:status'), then its
+    responses sections' question + answer spans; media_ref = the page
+    ref, order = running counter."""
+    page_data, page_responses = extract_document_pages(pages, sections)
     out: list[tuple[str, str, str, int]] = []
     order = 0
     page_no = 0
@@ -650,4 +704,11 @@ def extract_document_spans(
                         ("checkbox", f"{cb['label']}:{cb['status']}", span["media_ref"], order)
                     )
                     order += 1
+            for rsec in page_responses.get(page_no, []) or []:
+                for q in rsec.get("questions", []):
+                    out.append(("question", q.get("question", ""), span["media_ref"], order))
+                    order += 1
+                    if q.get("answer"):
+                        out.append(("answer", q["answer"], span["media_ref"], order))
+                        order += 1
     return out

@@ -41,21 +41,36 @@ from pdf_parser_spark.sources.decoder import PERCEPTION_SCHEMA as PERCEPTION_TRA
 from pdf_parser_spark.sources.documents import media_pages
 
 
+def _page_entry(pages, page_no):
+    entry = pages.get(page_no)
+    if entry is None:
+        return [], [], []
+    if len(entry) == 2:  # back-compat: perception without highlights
+        return entry[0], entry[1], []
+    return entry
+
+
 def extract_document(
     doc_spans: list[dict],
-    pages: dict[int, tuple[list[dict], list[dict]]],
+    pages: dict[int, tuple],
     sections: list[dict],
 ) -> list[tuple[str, str, str, int]]:
-    """One document: cross-page label bookkeeping + per-page geometry +
-    canonical span flattening. ``pages``: page_no → (tokens, matches)."""
+    """One document: cross-page label + question bookkeeping, per-page
+    geometry + Q/A layer, canonical span flattening.
+    ``pages``: page_no → (tokens, matches[, highlights])."""
+    from pdf_parser_spark.plans.questions import page_responses
+
     n_pages = max(pages) if pages else 0
     label_sections = [s for s in sections if s.get("labels")]
     remaining: dict[str, set[str]] = {s["section_name"]: set(s["labels"]) for s in label_sections}
     completed: set[str] = set()
+    remaining_qs: dict[str, list[str]] = {}
+    completed_qs: set[str] = set()
     page_sections: dict[int, list[dict]] = {}
+    page_resp: dict[int, list[dict]] = {}
 
     for page_no in range(1, n_pages + 1):
-        tokens, raw_matches = pages.get(page_no, ([], []))
+        tokens, raw_matches, highlights = _page_entry(pages, page_no)
         checkboxes = G.nms_dedupe(raw_matches)
         page = G.PageView(tokens)
 
@@ -72,7 +87,7 @@ def extract_document(
             active.append(sec)
             labels_to_search.extend(sorted(rem))
 
-        next_tokens = pages.get(page_no + 1, (None, None))[0] if page_no < n_pages else None
+        next_tokens = _page_entry(pages, page_no + 1)[0] if page_no < n_pages else None
         positions = G.find_label_positions(page, labels_to_search, next_tokens)
         regions = G.find_section_regions(page, sections, checkboxes)
 
@@ -93,6 +108,39 @@ def extract_document(
 
         page_sections[page_no] = G.assign_checkboxes(checkboxes, active, positions, regions)
 
+        # question/answer layer (cross-page remaining-question state)
+        if page_no == 1:
+            for sec in sections:
+                qs = sec.get("questions") or []
+                if qs:
+                    remaining_qs[sec["section_name"]] = list(qs)
+        q_active = []
+        for sec in sections:
+            name = sec["section_name"]
+            qs = sec.get("questions") or []
+            if not qs or name in completed_qs:
+                continue
+            rem_list = remaining_qs.get(name, [])
+            if not rem_list:
+                completed_qs.add(name)
+                continue
+            q_active.append(dict(sec, questions=list(rem_list)))
+
+        resp = page_responses(
+            tokens, q_active, regions,
+            checkboxes=checkboxes, highlights=highlights, next_page_tokens=next_tokens,
+        )
+        for rsec in resp or []:
+            name = rsec.get("section")
+            for q in rsec.get("questions", []):
+                rem_list = remaining_qs.get(name, [])
+                if q.get("question") in rem_list:
+                    rem_list.remove(q["question"])
+                    remaining_qs[name] = rem_list
+            if not remaining_qs.get(name):
+                completed_qs.add(name)
+        page_resp[page_no] = resp
+
     out: list[tuple[str, str, str, int]] = []
     order = 0
     page_no = 0
@@ -110,6 +158,13 @@ def extract_document(
                         ("checkbox", f"{cb['label']}:{cb['status']}", span["media_ref"], order)
                     )
                     order += 1
+            for rsec in page_resp.get(page_no, []) or []:
+                for q in rsec.get("questions", []):
+                    out.append(("question", q.get("question", ""), span["media_ref"], order))
+                    order += 1
+                    if q.get("answer"):
+                        out.append(("answer", q["answer"], span["media_ref"], order))
+                        order += 1
     return out
 
 

@@ -460,7 +460,7 @@ def assign_checkboxes(
         bx = np.array([b["x"] for _, b in sec_boxes], dtype=np.int64)
         by = np.array([b["y"] for _, b in sec_boxes], dtype=np.int64)
         rows: list[dict] = []
-        for lbl in sec["labels"]:
+        for lbl in sec.get("labels") or []:
             assigned = None
             for lx, ly in label_positions.get(lbl, []):
                 if not (y1_eff <= ly <= region["y2"]):

@@ -96,8 +96,8 @@ def _synthetic_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     payloads = []
     for doc_id, page_no in zip(pdf["doc_id"], pdf["page_no"]):
-        toks, matches = page_perception(str(doc_id), int(page_no))
-        payloads.append(pickle.dumps((toks, matches), protocol=5))
+        toks, matches, highlights = page_perception(str(doc_id), int(page_no))
+        payloads.append(pickle.dumps((toks, matches, highlights), protocol=5))
     return pd.DataFrame(
         {"doc_id": pdf["doc_id"], "page_no": pdf["page_no"], "payload": payloads}
     )
@@ -178,7 +178,7 @@ def tokens_relation(perception: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, page_no, payload in zip(pdf["doc_id"], pdf["page_no"], pdf["payload"]):
-                toks, _ = pickle.loads(bytes(payload))
+                toks = pickle.loads(bytes(payload))[0]
                 for t in toks:
                     rows.append(
                         (doc_id, page_no, t["tok_seq"], t["text"], t["x"], t["y"],

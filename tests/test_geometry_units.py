@@ -17,7 +17,7 @@ def _fixture_pages(n_docs=30):
 
 
 def test_nms_parity_on_fixtures():
-    for tokens, matches in _fixture_pages():
+    for tokens, matches, _ in _fixture_pages():
         a = G.nms_dedupe(matches)
         b = O.deduplicate_matches(matches)
         assert [(m["x"], m["y"], m["status"], m["score"]) for m in a] == [
@@ -58,8 +58,8 @@ def test_cluster_rows_parity():
 
 def test_label_positions_parity_on_fixtures():
     schema = form_schema()
-    labels = [lbl for s in schema for lbl in s["labels"]]
-    for tokens, _ in _fixture_pages(20):
+    labels = [lbl for s in schema for lbl in (s.get("labels") or [])]
+    for tokens, _, _hl in _fixture_pages(20):
         page = G.PageView(tokens)
         got = G.find_label_positions(page, labels, None)
         exp = O.get_label_positions(tokens, labels, None)
@@ -72,7 +72,7 @@ def test_label_positions_parity_on_fixtures():
 
 def test_section_regions_parity_on_fixtures():
     schema = form_schema()
-    for tokens, matches in _fixture_pages(20):
+    for tokens, matches, _ in _fixture_pages(20):
         cbs = O.deduplicate_matches(matches)
         page = G.PageView(tokens)
         got = G.find_section_regions(page, schema, cbs)
@@ -81,9 +81,9 @@ def test_section_regions_parity_on_fixtures():
 
 
 def test_assignment_parity_on_fixtures():
-    schema = form_schema()
-    labels = [lbl for s in schema for lbl in s["labels"]]
-    for tokens, matches in _fixture_pages(20):
+    schema = [s for s in form_schema() if s.get("labels")]
+    labels = [lbl for s in schema for lbl in (s.get("labels") or [])]
+    for tokens, matches, _ in _fixture_pages(20):
         cbs = O.deduplicate_matches(matches)
         page = G.PageView(tokens)
         positions = G.find_label_positions(page, labels, None)
