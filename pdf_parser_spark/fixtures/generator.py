@@ -104,16 +104,47 @@ _TEXT_WORDS = [
 ]
 
 
+# gender-specific schema variants (reference: sections.json vs
+# female_sections.json / male_sections.json selected by first-page OCR,
+# /root/reference/extractor.py:1200-1238)
+_VARIANT_SECTIONS = {
+    "female": {
+        "section_rank": 6,
+        "section_name": "PREGNANCY HISTORY",
+        "labels": ["Currently Pregnant", "Prior Pregnancies"],
+    },
+    "male": {
+        "section_rank": 6,
+        "section_name": "PROSTATE SCREENING",
+        "labels": ["PSA Test", "Digital Exam"],
+    },
+}
+
+
+def _copy_sec(s: dict) -> dict:
+    return dict(
+        s,
+        labels=list(s.get("labels") or []) or None,
+        questions=list(s.get("questions") or []) or None,
+    )
+
+
 def form_schema() -> list[dict]:
-    """The broadcastable form schema (list of section dicts)."""
-    return [
-        dict(
-            s,
-            labels=list(s.get("labels") or []) or None,
-            questions=list(s.get("questions") or []) or None,
-        )
-        for s in _FORM_SCHEMA
-    ]
+    """The broadcastable form schema (female variant, back-compat)."""
+    return form_schemas()["female"]
+
+
+def form_schemas() -> dict[str, list[dict]]:
+    """Both gender-variant schemas (broadcast to executors; the variant
+    is chosen per doc from page-1 text — F15)."""
+    return {
+        v: [_copy_sec(s) for s in _FORM_SCHEMA] + [_copy_sec(_VARIANT_SECTIONS[v])]
+        for v in ("female", "male")
+    }
+
+
+def doc_variant(doc_id: str) -> str:
+    return "male" if _rng(doc_id, "gender").random() < 0.3 else "female"
 
 
 # ---------------------------------------------------------------------------
@@ -187,9 +218,11 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
     """
     r = _rng(doc_id, page_no, "layout")
     n_pages = doc_page_count(doc_id)
+    variant = doc_variant(doc_id)
+    schema = _FORM_SCHEMA + [_VARIANT_SECTIONS[variant]]
     # distribute sections across the doc's pages by rank
     page_sections = [
-        s for s in _FORM_SCHEMA if s["section_rank"] % n_pages == (page_no - 1) % n_pages
+        s for s in schema if s["section_rank"] % n_pages == (page_no - 1) % n_pages
     ]
 
     tokens: list[dict] = []
@@ -307,6 +340,17 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
                     emit_line([("diagnosed", 1310), ("early", 1460)], y + 45 + 40)
                 y += 170
         return y + 40
+
+    if page_no == 1:
+        # gender marker line (far right of the anchor x-threshold so it
+        # can never anchor a section); drives schema-variant selection
+        marker = f"{variant.capitalize()} Patient Information"
+        mx = 900
+        mwords = []
+        for w in marker.split():
+            mwords.append((w, mx))
+            mx += 14 * len(w) + 10
+        emit_line(mwords, 120)
 
     y = 200 + r.randint(0, 40)
     for sec in page_sections:

@@ -142,3 +142,23 @@ def spark_flex_match_expr(col_name: str, expected: str, anchor: str = "both"):
     from pyspark.sql import functions as F
 
     return F.upper(F.col(col_name)).rlike(flex_regex(expected, anchor))
+
+
+def detect_schema_variant(page1_text: str) -> str:
+    """F15 — gender keyword detect on first-page text (reference
+    /root/reference/extractor.py:1216-1232): earliest keyword wins;
+    note "male patient information" is a substring of the female
+    phrase, so both-hit resolution by index is load-bearing; default
+    female."""
+    norm = page1_text.lower()
+    female_hit = "female patient information" in norm
+    male_hit = "male patient information" in norm
+    if female_hit and not male_hit:
+        return "female"
+    if male_hit and not female_hit:
+        return "male"
+    if female_hit and male_hit:
+        f_idx = norm.find("female patient information")
+        m_idx = norm.find("male patient information")
+        return "female" if f_idx < m_idx else "male"
+    return "female"

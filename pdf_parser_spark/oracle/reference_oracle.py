@@ -576,9 +576,32 @@ def _page_tuple(pages, page_no):
     return entry
 
 
+def select_schema(pages: dict[int, tuple], schemas) -> list[dict]:
+    """S5/F15: pick the gender-variant schema from page-1 OCR text
+    (reference extractor.py:1216-1232; 'male patient information' is a
+    substring of the female phrase — index comparison resolves)."""
+    if not isinstance(schemas, dict):
+        return schemas
+    p1 = _page_tuple(pages, 1)[0]
+    norm = " ".join(str(t["text"]) for t in sorted(p1, key=lambda t: t.get("tok_seq", 0))).lower()
+    female_hit = "female patient information" in norm
+    male_hit = "male patient information" in norm
+    if female_hit and male_hit:
+        variant = (
+            "female"
+            if norm.find("female patient information") < norm.find("male patient information")
+            else "male"
+        )
+    elif male_hit:
+        variant = "male"
+    else:
+        variant = "female"
+    return schemas[variant]
+
+
 def extract_document_pages(
     pages: dict[int, tuple],
-    sections: list[dict],
+    sections,
 ) -> tuple[dict[int, list[dict]], dict[int, list[dict]]]:
     """pages: page_no -> (tokens, raw matches[, highlights]). Returns
     (page_no -> sections_data, page_no -> responses_data), with the
@@ -586,6 +609,7 @@ def extract_document_pages(
     bookkeeping (extractor.py:978-1056, 1062-1114)."""
     from pdf_parser_spark.oracle.response_oracle import extract_page_responses
 
+    sections = select_schema(pages, sections)
     n_pages = max(pages) if pages else 0
     label_sections = [s for s in sections if s.get("labels")]
     remaining = {s["section_name"]: set(s["labels"]) for s in label_sections}
@@ -679,7 +703,7 @@ def extract_document_pages(
 def extract_document_spans(
     doc_spans: list[dict],
     pages: dict[int, tuple],
-    sections: list[dict],
+    sections,
 ) -> list[tuple[str, str, str, int]]:
     """Canonical flattening (SURVEY.md §7.2): walk input spans in offset
     order; 'text' spans pass through; each media span contributes its

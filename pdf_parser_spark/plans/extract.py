@@ -53,12 +53,22 @@ def _page_entry(pages, page_no):
 def extract_document(
     doc_spans: list[dict],
     pages: dict[int, tuple],
-    sections: list[dict],
+    sections: list[dict] | dict[str, list[dict]],
 ) -> list[tuple[str, str, str, int]]:
     """One document: cross-page label + question bookkeeping, per-page
     geometry + Q/A layer, canonical span flattening.
-    ``pages``: page_no → (tokens, matches[, highlights])."""
+    ``pages``: page_no → (tokens, matches[, highlights]).
+    ``sections``: one schema, or {variant: schema} selected per doc by
+    the page-1 gender keyword (S5/F15)."""
+    from pdf_parser_spark.functions.text import detect_schema_variant
     from pdf_parser_spark.plans.questions import page_responses
+
+    if isinstance(sections, dict):
+        p1_tokens = _page_entry(pages, 1)[0]
+        page1_text = " ".join(
+            str(t["text"]) for t in sorted(p1_tokens, key=lambda t: t.get("tok_seq", 0))
+        )
+        sections = sections[detect_schema_variant(page1_text)]
 
     n_pages = max(pages) if pages else 0
     label_sections = [s for s in sections if s.get("labels")]
@@ -290,9 +300,9 @@ def extract_spans(
       multi-hundred-page doc must not serialize one task.
     """
     if sections is None:
-        from pdf_parser_spark.fixtures.generator import form_schema
+        from pdf_parser_spark.fixtures.generator import form_schemas
 
-        sections = form_schema()
+        sections = form_schemas()
 
     spark = docs.sparkSession
     n_parts = parallelism or spark.sparkContext.defaultParallelism

@@ -9,7 +9,7 @@ import pytest
 from pdf_parser_spark.fixtures.generator import (
     doc_page_count,
     doc_spans,
-    form_schema,
+    form_schemas,
     page_perception,
     write_fixture_tables,
 )
@@ -30,7 +30,7 @@ def _oracle_spans(doc_id: str):
     pages = {
         p: page_perception(doc_id, p) for p in range(1, doc_page_count(doc_id) + 1)
     }
-    return O.extract_document_spans(doc_spans(doc_id), pages, form_schema())
+    return O.extract_document_spans(doc_spans(doc_id), pages, form_schemas())
 
 
 def test_local_engine_matches_oracle():
@@ -40,7 +40,7 @@ def test_local_engine_matches_oracle():
         pages = {
             p: page_perception(doc_id, p) for p in range(1, doc_page_count(doc_id) + 1)
         }
-        got = extract_document(doc_spans(doc_id), pages, form_schema())
+        got = extract_document(doc_spans(doc_id), pages, form_schemas())
         exp = _oracle_spans(doc_id)
         assert got == exp, f"span mismatch for {doc_id}"
 

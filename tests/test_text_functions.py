@@ -67,3 +67,17 @@ def test_oracle_and_engine_normalizers_agree():
     exp, mask = O.build_expected_masked_upper("High Iodine/Intake")
     exp2, mask2 = T.expected_masked("High Iodine/Intake")
     assert exp == exp2 and set(mask) == set(mask2)
+
+
+def test_detect_schema_variant():
+    from pdf_parser_spark.functions.text import detect_schema_variant
+
+    # "male patient information" is a substring of the female phrase —
+    # index resolution must pick female (reference extractor.py:1226-1229)
+    assert detect_schema_variant("header Female Patient Information x") == "female"
+    assert detect_schema_variant("header male patient information x") == "male"
+    assert detect_schema_variant("no keywords here") == "female"
+    assert (
+        detect_schema_variant("male patient information ... female patient information")
+        == "male"
+    )

@@ -37,10 +37,10 @@ from pdf_parser_spark.plans.extract import extract_spans
 spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={cpus})
 docs = spark.read.parquet({docs_path!r})
 n_docs = docs.count()
-# first run warms codegen + python worker pool; then best-of-3
+# first run warms codegen + python worker pool; then best-of-N
 extract_spans(docs).write.format("noop").mode("overwrite").save()
 runs = []
-for _ in range(3):
+for _ in range(2 if {cpus} <= 2 else 3):
     t0 = time.time()
     extract_spans(docs).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))
@@ -125,7 +125,7 @@ input at two parallelism levels; efficiency = (thr@4N/thr@N)/4).
 
 Input: skewed corpus of {results[2]["n_docs"]} interleaved documents
 (heavy-tailed page counts, FIXTURES.md §1: ~2% of docs have 100-500
-pages; ~526k pages total). Job: the full extraction pipeline in fused
+pages). Job: the full extraction pipeline in fused
 mode (decode + geometry + flattening in one narrow mapInPandas pass —
 zero shuffles; see plans/extract.py for the cost-based fused/paged
 mode choice). Each level runs in a fresh JVM; reported time is
