@@ -36,7 +36,11 @@ from pdf_parser_spark.operators.dedup import (
     word_shingles,
 )
 from pdf_parser_spark.operators.multimodal import media_metadata, media_metadata_sql
-from pdf_parser_spark.operators.similarity import bucketed_ann_topk, cosine_topk
+from pdf_parser_spark.operators.similarity import (
+    bucketed_ann_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
 from pdf_parser_spark.operators.textstats import text_profile
 
 
@@ -602,6 +606,26 @@ SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
 """
 
 
+def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3, bits=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_D5_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_sign_bucket_sql('embedding')} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -669,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "x1_extract_spans": q_x1_extract_spans,
@@ -697,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash": _simhash_sql(16),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
+        "d5_embedding_neardup": _D5_SQL,
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         # x1_extract_spans: intentionally no oracle (non-SQL geometry)

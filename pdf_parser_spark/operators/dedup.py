@@ -139,9 +139,11 @@ def minhash_lsh_pairs(
     true Jaccard. One shuffle (the band join) + dedupe of pairs."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, shingle_col, num_hashes)
+    # band join carries ONLY (id, band_id, band_sig) — the shingle
+    # arrays stay out of the shuffle and are re-joined just for the
+    # (far smaller) candidate set's Jaccard verification
     banded = sigs.select(
         F.col(id_col),
-        F.col(shingle_col),
         F.posexplode(
             F.array(
                 *[
@@ -157,19 +159,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_sig"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"), "band_id", "band_sig"
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
+    cand = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"), "band_id", "band_sig"
-    )
+    sh_a = df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"))
+    sh_b = df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        a.join(b, ["band_id", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

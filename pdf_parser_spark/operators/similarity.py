@@ -88,3 +88,33 @@ def bucketed_ann_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rk")
     )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket blocking
+    (candidates must agree on the leading sign bits) then exact cosine
+    ≥ threshold. The blocking turns the O(N²) pair space into
+    per-bucket joins — the standard near-dup plan at corpus scale."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
