@@ -49,10 +49,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _us(col: str):
-    """Timestamp column → epoch microseconds (testdata parquet reads as
-    TIMESTAMP_NTZ; cast through TIMESTAMP with the UTC session zone so
-    the integer equals DuckDB's epoch_us of the naive value)."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    """Timestamp column → epoch microseconds. The testdata parquet
+    reads as TIMESTAMP_NTZ; diffing against the NTZ epoch is session-
+    timezone-INVARIANT (a cast through TIMESTAMP would shift by the
+    driver session's zone offset) and equals DuckDB's epoch_us of the
+    naive value."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
 
 
 def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
