@@ -153,7 +153,7 @@ s AS (SELECT user_id,
              sum(CASE WHEN p IS NOT NULL AND us - p > 1800000000 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
       FROM l)
-SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
@@ -164,7 +164,8 @@ def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], [F.desc("value"), F.col("event_id")], 3, rank_col="rk"
     )
     return top.select(
-        "user_id", "event_id", F.round("value", 2).alias("value"), "rk"
+        "user_id", "event_id", F.round("value", 2).alias("value"),
+        F.col("rk").cast("bigint").alias("rk"),
     ).orderBy("user_id", "rk")
 
 
@@ -205,7 +206,7 @@ l AS (SELECT user_id, us,
                    coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us) - 1000000,
                             us + 3600000000)) AS bound_us
       FROM e)
-SELECT user_id, sum(bound_us - us) AS covered_us FROM l GROUP BY user_id ORDER BY user_id
+SELECT user_id, CAST(sum(bound_us - us) AS BIGINT) AS covered_us FROM l GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -344,7 +345,7 @@ def q_e3_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
             ).alias("missing_types"),
-            F.size("seen").alias("n_seen"),
+            F.size("seen").cast("bigint").alias("n_seen"),
         )
         .orderBy("user_id")
     )

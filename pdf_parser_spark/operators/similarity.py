@@ -52,7 +52,7 @@ def cosine_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rk")
+        .select(query_id_col, id_col, "cos_sim", F.col("rk").cast("bigint").alias("rk"))
     )
 
 
@@ -86,7 +86,7 @@ def bucketed_ann_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rk")
+        .select(query_id_col, id_col, "cos_sim", F.col("rk").cast("bigint").alias("rk"))
     )
 
 

@@ -70,8 +70,8 @@ def fingerprint(text_col: str) -> Column:
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        regex_token_count(text_col).alias("n_regex_tokens"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        regex_token_count(text_col).cast("bigint").alias("n_regex_tokens"),
         stopword_ratio(text_col).alias("stop_ratio"),
         mean_word_len(text_col).alias("mean_word_len"),
         quality_score(text_col).alias("quality"),
