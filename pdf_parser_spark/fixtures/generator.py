@@ -225,6 +225,18 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
         s for s in schema if s["section_rank"] % n_pages == (page_no - 1) % n_pages
     ]
 
+    # cross-page label continuation case (J5/W6): on some multi-page
+    # docs, split "Sulfa Drugs" — "Sulfa" as the last line of the
+    # ALLERGIES page, "Drugs" as the first line group of the next page;
+    # the matcher must find it via the next-page head-lines fallback.
+    # (Both pages derive the same decision deterministically.)
+    allergies_page = (3 % n_pages) + 1
+    xsplit = (
+        n_pages >= 2
+        and allergies_page < n_pages
+        and _rng(doc_id, "xsplit").random() < 0.5
+    )
+
     tokens: list[dict] = []
     ticked: list[dict] = []
     empty: list[dict] = []
@@ -352,6 +364,10 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
             mx += 14 * len(w) + 10
         emit_line(mwords, 120)
 
+    if xsplit and page_no == allergies_page + 1:
+        # continuation fragment: first line group of this page
+        emit_line([("Drugs", 420)], 150)
+
     y = 200 + r.randint(0, 40)
     for sec in page_sections:
         # --- section header line (anchor must start within first 10% of
@@ -372,6 +388,11 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
 
         # --- label rows (two columns) ---
         labels = list(sec["labels"])
+        if xsplit and page_no == allergies_page and sec["section_name"] == "ALLERGIES":
+            # split label emitted at the page bottom instead (below);
+            # checkbox intentionally absent → resolved via the
+            # next-page continuation path, assigned 'missing'
+            labels.remove("Sulfa Drugs")
         i = 0
         while i < len(labels):
             row_labels = labels[i : i + 2]
@@ -417,16 +438,24 @@ def page_perception(doc_id: str, page_no: int) -> tuple[list[dict], list[dict]]:
             # growth thresholds; occasionally a big gap that stops section
             # growth (subsequent labels fall outside the region)
             y += 140 if r.random() < 0.12 else 90
-        # noise line between sections (x > anchor threshold)
+        # noise line between sections (x > anchor threshold); ~20% of
+        # noise words carry accents to exercise the NFKD normalization
+        # path in both implementations
         if r.random() < 0.5:
             nx = 600 + r.randint(0, 800)
             nwords = []
             for w in r.sample(_NOISE_WORDS, r.randint(2, 4)):
+                if r.random() < 0.2:
+                    w = w.replace("o", "ó").replace("e", "é")
                 nwords.append((w, nx))
                 nx += 14 * len(w) + 10
             emit_line(nwords, y)
             y += 60
         y += 40 + r.randint(0, 30)
+
+    if xsplit and page_no == allergies_page:
+        # split-label head fragment at the very bottom of the page
+        emit_line([("Sulfa", 400)], C.PAGE_H - 20)
 
     # assemble match seq: ticked (raster order) then empty (raster order)
     ticked.sort(key=lambda m: (m["y"], m["x"]))
