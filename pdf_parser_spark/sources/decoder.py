@@ -37,7 +37,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     FloatType,
     IntegerType,

@@ -69,3 +69,23 @@ def test_lineage_metrics(spark, fixture_dir):
     for r in lm:
         assert r["text"] >= 1  # every fixture doc has at least one text span
         assert r["n_input_spans"] >= 2
+
+
+def test_skewed_long_document_parity():
+    """A 100+-page document (heavy-tail skew profile) must match the
+    oracle exactly — exercises many empty/section-less pages, repeated
+    cross-page remaining-label searches, and long flattening runs."""
+    from pdf_parser_spark.fixtures.generator import _rng  # deterministic probe
+
+    # find a skewed doc id deterministically
+    doc_id = next(
+        f"skewp_{i:04d}" for i in range(5000)
+        if _rng(f"skewp_{i:04d}", "pages").random() < 0.02
+    )
+    n = doc_page_count(doc_id, skew=True)
+    assert n >= 100
+    pages = {p: page_perception(doc_id, p) for p in range(1, n + 1)}
+    got = extract_document(doc_spans(doc_id, skew=True), pages, form_schemas())
+    exp = O.extract_document_spans(doc_spans(doc_id, skew=True), pages, form_schemas())
+    assert got == exp
+    assert len(got) > 10
