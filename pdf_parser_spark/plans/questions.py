@@ -246,6 +246,14 @@ def find_question_hits(
         if not q_words:
             continue
         q_full = " ".join(q_words)
+        # exact prefilter: any hit (same-line, merged-token, or
+        # multiline start) requires a token flex-startswith the first
+        # question word — skip scanning when no token qualifies
+        first = q_words[0]
+        if not any(
+            flex_startswith(first, w["pn"]) for line in lines for w in line["words"]
+        ):
+            continue
         hits = []
         seen_starts = set()
         for line in lines:
@@ -288,6 +296,18 @@ def match_question_sections(
     img_h: int = C.PAGE_H,
 ) -> list[dict]:
     anchors, ordered, bands = _bands_from_regions(sections, regions, img_h)
+    # crop re-OCR views are deterministic per (y1c, y2c); questions in
+    # one section share crop bounds, so memoize the built view
+    crop_views: dict[tuple[int, int], QAPage] = {}
+
+    def crop_view(y1c: int, y2c: int) -> QAPage:
+        key = (y1c, y2c)
+        view = crop_views.get(key)
+        if view is None:
+            view = QAPage(crop_tokens(tokens, 0, y1c, img_w, y2c))
+            crop_views[key] = view
+        return view
+
     out = []
     for sec in sections:
         name = sec["section_name"]
@@ -313,8 +333,7 @@ def match_question_sections(
                 y2c_primary = max(y1c + 1, int(min(img_h, yband[1])))
 
                 def crop_hits(y2c):
-                    sub = crop_tokens(tokens, 0, y1c, img_w, y2c)
-                    found = find_question_hits(QAPage(sub).m_lines, [q]).get(q, [])
+                    found = find_question_hits(crop_view(y1c, y2c).m_lines, [q]).get(q, [])
                     res = []
                     for h in found:
                         h["y"] += y1c
