@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY.md §2.5 W1's streaming twin).
+
+The batch engine sessionizes with the lag+cumsum window idiom
+(operators/windows.py); on an unbounded stream the same semantics need
+per-key state that survives micro-batches: each key holds its open
+session (start, last-seen, count) and emits a session row only when a
+later event exceeds the gap threshold (an idle-timeout close could be
+added with ProcessingTimeTimeout for always-on deployments). This is the engine's pattern for any custom stateful operator
+the reference lacks but a continuous pipeline needs (e.g. per-source
+ingest accounting, rolling dedup windows).
+
+State flows as Arrow batches — no per-row Python against the state
+store; one state object per key per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def make_session_fn(gap_us: int):
+    """Returns the applyInPandasWithState function closing over the gap."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        # gather and sort this batch's events for the key
+        us_values: list[int] = []
+        for pdf in pdfs:
+            us_values.extend(int(v) for v in pdf["us"])
+        us_values.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for us in us_values:
+            if last_us is None:
+                start_us, last_us, n = us, us, 1
+            elif us - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = us, us, 1
+            else:
+                last_us, n = us, n + 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return update
+
+
+def streaming_sessionize(events_stream, gap_us: int):
+    """events stream (user_id bigint, us bigint) → closed-session rows."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_us),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
