@@ -41,6 +41,7 @@ from pdf_parser_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
 )
+from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
 from pdf_parser_spark.operators.textstats import text_profile
 
 
@@ -631,6 +632,13 @@ ORDER BY id_a, id_b
 """
 
 
+def q_k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch per source (deterministic — unlike
+    HLL, exactly replicable in the DuckDB oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "source", "text", k=8).orderBy("source")
+
+
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -699,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "d5_embedding_neardup": q_d5_embedding_neardup,
+        "k1_kmv_distinct": q_k1_kmv_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "x1_extract_spans": q_x1_extract_spans,
@@ -728,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "d5_embedding_neardup": _D5_SQL,
+        "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         # x1_extract_spans: intentionally no oracle (non-SQL geometry)
