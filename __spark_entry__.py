@@ -675,13 +675,22 @@ FROM documents ORDER BY media_id
 
 def q_x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full extraction pipeline over interleaved docs derived from
-    the sf documents table. Geometry is not SQL-expressible → no oracle
-    entry (driver records rows-only); exact span parity is enforced by
-    tests/test_extract_parity.py against the reference oracle."""
+    the sf documents table. Geometry is not SQL-expressible, so the
+    oracle reads a committed golden parquet produced by the pure-Python
+    reference oracle (tools/make_golden.py) — full value parity, not a
+    rows-only check."""
     from pdf_parser_spark.plans.extract import extract_spans
 
     docs = _interleaved_docs(spark, sf_dir)
     return extract_spans(docs).orderBy("doc_id", "order")
+
+
+def _x1_oracle_sql(sf: str) -> str:
+    return (
+        "SELECT doc_id, kind, text, media_ref, \"order\" FROM "
+        f"read_parquet('/root/repo/golden/x1_{sf}.parquet') "
+        'ORDER BY doc_id, "order"'
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -740,5 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
-        # x1_extract_spans: intentionally no oracle (non-SQL geometry)
+        # x1: geometry is non-SQL; the oracle reads the committed golden
+        # computed by the pure-Python reference oracle (full value parity)
+        "x1_extract_spans": _x1_oracle_sql("sf0.01"),
     }
