@@ -72,5 +72,6 @@ def test_every_query_has_callable():
     qs = E.queries()
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # only genuinely non-SQL ops may omit an oracle
-    assert set(qs) - set(oracles) == {"x1_extract_spans"}
+    # every query is oracle-checked — including x1, whose oracle reads
+    # the committed golden computed by the pure-Python reference oracle
+    assert set(qs) == set(oracles)
