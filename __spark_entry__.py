@@ -35,7 +35,11 @@ from pdf_parser_spark.operators.dedup import (
     simhash,
     word_shingles,
 )
-from pdf_parser_spark.operators.multimodal import media_metadata, media_metadata_sql
+from pdf_parser_spark.operators.multimodal import (
+    media_metadata,
+    media_metadata_sql,
+    media_transform,
+)
 from pdf_parser_spark.operators.similarity import (
     bucketed_ann_topk,
     cosine_topk,
@@ -693,6 +697,46 @@ def _x1_oracle_sql(sf: str) -> str:
     )
 
 
+def q_m3_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize / frame-sample feature extraction over binary payloads
+    (kind alternates image/video by doc parity to exercise both
+    branches of the pandas-UDF kernel)."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("media_kind"),
+    )
+    return media_transform(payloads, "doc_id", "payload", "media_kind").orderBy("media_id")
+
+
+_M3_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_kind,
+         octet_length(encode(text)) AS blen,
+         64 + ascii(substr(text, 1, 1)) % 192 AS w,
+         64 + ascii(substr(text, length(text), 1)) % 192 AS h
+  FROM documents),
+scaled AS (
+  SELECT *, least(64.0 / w, 64.0 / h, 1.0) AS scale FROM base),
+frames AS (
+  SELECT media_id,
+         CASE WHEN media_kind = 'video' AND blen > 0
+              THEN [CAST(i AS VARCHAR) for i in generate_series(0, least(blen - 1, 7 * 4096), 4096)]
+              ELSE [] END AS offs
+  FROM scaled)
+SELECT s.media_id, s.media_kind,
+       CAST(greatest(1, floor(s.w * s.scale)) AS INTEGER) AS out_width,
+       CAST(greatest(1, floor(s.h * s.scale)) AS INTEGER) AS out_height,
+       CAST(len(f.offs) AS INTEGER) AS n_frames_sampled,
+       coalesce(array_to_string(f.offs, ','), '') AS frame_offsets,
+       CAST(greatest(1, floor(s.w * s.scale)) * greatest(1, floor(s.h * s.scale)) * 3 AS BIGINT)
+         AS out_bytes
+FROM scaled s JOIN frames f USING (media_id) ORDER BY s.media_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -719,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_kmv_distinct": q_k1_kmv_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
+        "m3_media_transform": q_m3_media_transform,
         "x1_extract_spans": q_x1_extract_spans,
     }
 
@@ -749,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
+        "m3_media_transform": _M3_SQL,
         # x1: geometry is non-SQL; the oracle reads the committed golden
         # computed by the pure-Python reference oracle (full value parity)
         "x1_extract_spans": _x1_oracle_sql("sf0.01"),

@@ -104,3 +104,71 @@ def media_metadata_sql(df: DataFrame, id_col: str, payload_col: str, kind_col: s
         F.when(empty, 0).otherwise(64 + last_b % 192).cast("int").alias("height"),
         F.md5(payload).alias("checksum"),
     )
+
+
+MEDIA_TRANSFORM_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("n_frames_sampled", IntegerType()),
+        StructField("frame_offsets", StringType()),  # csv of sampled offsets
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+
+def _resize_dims(w: int, h: int, target: int) -> tuple[int, int]:
+    """STUB resize: aspect-preserving fit into target x target (the real
+    kernel is PIL Image.thumbnail / cv2.resize on the decoded array)."""
+    if w <= 0 or h <= 0:
+        return (0, 0)
+    scale = min(target / w, target / h, 1.0)
+    return (max(1, int(w * scale)), max(1, int(h * scale)))
+
+
+def _sample_frames(payload: bytes, every: int) -> list[int]:
+    """STUB frame sampler: deterministic byte offsets standing in for
+    video frame indices (real kernel: pyav keyframe iteration)."""
+    if not payload:
+        return []
+    return list(range(0, len(payload), max(1, every)))[:8]
+
+
+def media_transform(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    kind_col: str,
+    target_size: int = 64,
+    frame_every: int = 4096,
+) -> DataFrame:
+    """Decode → resize / frame-sample feature extraction over binary
+    media payloads (Arrow-batched mapInPandas; bytes never shuffle).
+    Decode internals are stubs (no codec libs in this container); the
+    Spark plumbing — schema, batch iteration, per-kind branching,
+    bounded output — is the real production shape."""
+
+    cols = [id_col, payload_col, kind_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k.name: [] for k in MEDIA_TRANSFORM_SCHEMA.fields}
+            for mid, payload, kind in zip(pdf[id_col], pdf[payload_col], pdf[kind_col]):
+                payload = bytes(payload) if payload is not None else b""
+                w, h = _decode_payload(payload, kind)
+                rw, rh = _resize_dims(w, h, target_size)
+                frames = _sample_frames(payload, frame_every) if kind == "video" else []
+                out["media_id"].append(str(mid))
+                out["media_kind"].append(str(kind))
+                out["out_width"].append(rw)
+                out["out_height"].append(rh)
+                out["n_frames_sampled"].append(len(frames))
+                out["frame_offsets"].append(",".join(map(str, frames)))
+                out["out_bytes"].append(rw * rh * 3)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(run, schema=MEDIA_TRANSFORM_SCHEMA)
