@@ -49,6 +49,43 @@ from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
 from pdf_parser_spark.operators.textstats import text_profile
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pdf_parser_spark`` importable on Python workers regardless
+    of the driver's cwd/PYTHONPATH: zip the package once and addPyFile
+    it. Without this, mapInPandas closures (which import the package by
+    reference) fail with ModuleNotFoundError whenever the driver wasn't
+    launched from the repo root."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pdf_parser_spark")
+    zip_path = os.path.join("/tmp", "pdf_parser_spark_shipped.zip")
+    srcs = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                srcs.append(os.path.join(root, fn))
+    newest = max(os.path.getmtime(p) for p in srcs)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) <= newest:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in srcs:
+                arc = os.path.join(
+                    "pdf_parser_spark", os.path.relpath(p, pkg_dir)
+                )
+                zf.write(p, arc)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -94,6 +131,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over sf0.001 documents."""
     from pdf_parser_spark.plans.extract import extract_spans
 
+    _ship_package(spark)
     docs = _interleaved_docs(spark, "/root/testdata/sf0.001")
     return extract_spans(docs)
 
@@ -659,6 +697,7 @@ def q_m1_media_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_m2_media_metadata_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     return media_metadata(
         _payload_docs(spark, sf_dir), "doc_id", "payload", "media_kind"
     ).orderBy("media_id")
@@ -685,6 +724,7 @@ def q_x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check."""
     from pdf_parser_spark.plans.extract import extract_spans
 
+    _ship_package(spark)
     docs = _interleaved_docs(spark, sf_dir)
     return extract_spans(docs).orderBy("doc_id", "order")
 
@@ -701,6 +741,7 @@ def q_m3_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize / frame-sample feature extraction over binary payloads
     (kind alternates image/video by doc parity to exercise both
     branches of the pandas-UDF kernel)."""
+    _ship_package(spark)
     docs = _t(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id",
