@@ -345,7 +345,7 @@ def lineage_metrics(docs: DataFrame, out_flat: DataFrame) -> DataFrame:
     side effects, SURVEY.md §2.1 S8/S9): span counts by kind per doc."""
     return (
         out_flat.groupBy("doc_id")
-        .pivot("kind", ["text", "section", "checkbox"])
+        .pivot("kind", ["text", "section", "checkbox", "question", "answer"])
         .count()
         .na.fill(0)
         .join(docs.select("doc_id", F.size("spans").alias("n_input_spans")), "doc_id")

@@ -69,6 +69,9 @@ def test_lineage_metrics(spark, fixture_dir):
     for r in lm:
         assert r["text"] >= 1  # every fixture doc has at least one text span
         assert r["n_input_spans"] >= 2
+    # Q/A kinds are tracked too
+    assert sum(r["question"] for r in lm) > 0
+    assert sum(r["answer"] for r in lm) > 0
 
 
 def test_skewed_long_document_parity():
