@@ -46,7 +46,7 @@ from pdf_parser_spark.operators.similarity import (
     embedding_neardup_pairs,
 )
 from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
-from pdf_parser_spark.operators.textstats import text_profile
+from pdf_parser_spark.operators.textstats import rolling_fingerprint, text_profile
 
 
 _SHIPPED: set[int] = set()
@@ -494,6 +494,26 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_t2_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint (Rabin-Karp fold
+    over md5-derived word hashes) — deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("roll_fp")
+    ).orderBy("doc_id")
+
+
+_T2_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+             w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1000000007)),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS roll_fp
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id").orderBy("content_hash")
@@ -794,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_top_orders": q_o1_top_orders,
         "f4_flex_match": q_f4_flex_match,
         "t1_text_profile": q_t1_text_profile,
+        "t2_rolling_fingerprint": q_t2_rolling_fingerprint,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -825,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "o1_top_orders": _O1_SQL,
         "f4_flex_match": _F4_SQL,
         "t1_text_profile": _T1_SQL,
+        "t2_rolling_fingerprint": _T2_SQL,
         "d1_exact_dedup": _D1_SQL,
         "d2_ngram_jaccard": _D2_SQL,
         "d3_minhash_lsh": _D3_SQL,

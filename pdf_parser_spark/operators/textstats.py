@@ -78,3 +78,28 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+# rolling polynomial fingerprint over the word-hash stream (Rabin-Karp
+# style): order-sensitive — unlike the md5-of-normalized-text
+# fingerprint, two documents with the same words in different order get
+# different fingerprints, and it streams in O(1) state per row.
+ROLL_PRIME = 1_000_000_007
+ROLL_BASE = 131
+
+
+def rolling_fingerprint(text_col: str) -> Column:
+    from pdf_parser_spark.operators.dedup import md5_long
+
+    word_hashes = F.transform(
+        words_col(text_col),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+            F.lit(ROLL_PRIME),
+        ),
+    )
+    return F.aggregate(
+        word_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: F.pmod(acc * F.lit(ROLL_BASE) + h, F.lit(ROLL_PRIME)),
+    )
