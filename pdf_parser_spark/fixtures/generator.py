@@ -149,37 +149,16 @@ def doc_variant(doc_id: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Perception environment model shared by oracle and engine: deterministic
-# crop re-OCR and highlight-OCR stand-ins. Crop re-OCR returns only tokens
-# whose boxes lie FULLY inside the crop (models glyph cut-off at crop
-# edges → re-OCR non-idempotence, reference response_extractor.py:715-733,
-# 1462-1471); highlight-OCR returns the highlight's text when its point
-# falls inside the padded probe box (models the HSV-mask recovery,
-# response_extractor.py:822-869).
+# crop re-OCR and highlight-OCR stand-ins — the pure models live in
+# pdf_parser_spark.sources.perception (the decoder-owned environment
+# layer; round-1 ADVICE: the engine must not depend on fixture code).
+# Re-exported here for the transcription oracle, which is test-only.
 # ---------------------------------------------------------------------------
 
-
-def crop_tokens(tokens: list[dict], x0: int, y0: int, x1: int, y1: int) -> list[dict]:
-    """Synthetic crop re-OCR: tokens fully inside the rect, coords
-    shifted to crop space."""
-    out = []
-    for t in tokens:
-        if t["x"] >= x0 and t["x"] + t["w"] <= x1 and t["y"] >= y0 and t["y"] + t["h"] <= y1:
-            out.append(dict(t, x=t["x"] - x0, y=t["y"] - y0))
-    return out
-
-
-def highlight_ocr(highlights: list[dict], box: dict) -> str:
-    """Synthetic highlight recovery: pad the box like the reference
-    (±15 x, ±12 y), return the first highlight whose anchor point falls
-    inside; '' when none."""
-    xs = box["x_start"] - 15
-    ys = box["y_start"] - 12
-    xe = box["x_end"] + 15
-    ye = box["y_end"] + 12
-    for hl in highlights:
-        if xs <= hl["x"] <= xe and ys <= hl["y"] <= ye:
-            return hl["value"]
-    return ""
+from pdf_parser_spark.sources.perception import (  # noqa: E402
+    crop_token_model as crop_tokens,
+    highlight_point_model as highlight_ocr,
+)
 
 
 def _rng(*key) -> random.Random:

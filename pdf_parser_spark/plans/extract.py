@@ -42,11 +42,17 @@ from pdf_parser_spark.sources.documents import media_pages
 
 
 def _page_entry(pages, page_no):
+    """page entry → (tokens, matches, highlights, media_ref). Payloads
+    are (tokens, matches) [legacy], (tokens, matches, highlights)
+    [synthetic], or (tokens, matches, highlights, media_ref) [native —
+    the ref lets the Q/A layer rebuild a NativePerception lazily]."""
     entry = pages.get(page_no)
     if entry is None:
-        return [], [], []
-    if len(entry) == 2:  # back-compat: perception without highlights
-        return entry[0], entry[1], []
+        return [], [], [], None
+    if len(entry) == 2:
+        return entry[0], entry[1], [], None
+    if len(entry) == 3:
+        return entry[0], entry[1], entry[2], None
     return entry
 
 
@@ -54,14 +60,19 @@ def extract_document(
     doc_spans: list[dict],
     pages: dict[int, tuple],
     sections: list[dict] | dict[str, list[dict]],
+    envs: dict[int, object] | None = None,
 ) -> list[tuple[str, str, str, int]]:
     """One document: cross-page label + question bookkeeping, per-page
     geometry + Q/A layer, canonical span flattening.
-    ``pages``: page_no → (tokens, matches[, highlights]).
+    ``pages``: page_no → (tokens, matches[, highlights[, media_ref]]).
     ``sections``: one schema, or {variant: schema} selected per doc by
-    the page-1 gender keyword (S5/F15)."""
+    the page-1 gender keyword (S5/F15).
+    ``envs``: page_no → PerceptionEnv for K5/K6; pages without one fall
+    back to NativePerception(media_ref) when the payload carries a ref,
+    else the synthetic model over the page's tokens+highlights."""
     from pdf_parser_spark.functions.text import detect_schema_variant
     from pdf_parser_spark.plans.questions import page_responses
+    from pdf_parser_spark.sources.perception import NativePerception
 
     if isinstance(sections, dict):
         p1_tokens = _page_entry(pages, 1)[0]
@@ -80,7 +91,10 @@ def extract_document(
     page_resp: dict[int, list[dict]] = {}
 
     for page_no in range(1, n_pages + 1):
-        tokens, raw_matches, highlights = _page_entry(pages, page_no)
+        tokens, raw_matches, highlights, ref = _page_entry(pages, page_no)
+        env = (envs or {}).get(page_no)
+        if env is None and ref is not None:
+            env = NativePerception(media_ref=ref)
         checkboxes = G.nms_dedupe(raw_matches)
         page = G.PageView(tokens)
 
@@ -139,6 +153,7 @@ def extract_document(
         resp = page_responses(
             tokens, q_active, regions,
             checkboxes=checkboxes, highlights=highlights, next_page_tokens=next_tokens,
+            env=env,
         )
         for rsec in resp or []:
             name = rsec.get("section")
@@ -254,15 +269,17 @@ def _fused_factory(sections: list[dict], decoder: str):
     narrow pass (no shuffle). Used when decode cost ≪ transport cost."""
     import pickle as _p  # noqa: F401  (parity of imports with stream path)
 
-    from pdf_parser_spark.sources.decoder import decode_pages_for_doc
+    from pdf_parser_spark.sources.decoder import decode_doc
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         out_rows: list[tuple] = []
         for pdf in batches:
             for doc_id, spans_cell in zip(pdf["doc_id"], pdf["spans"]):
                 spans = _as_dicts(spans_cell)
-                pages = decode_pages_for_doc(str(doc_id), spans, decoder)
-                for kind, text, media_ref, order in extract_document(spans, pages, sections):
+                pages, envs = decode_doc(str(doc_id), spans, decoder)
+                for kind, text, media_ref, order in extract_document(
+                    spans, pages, sections, envs
+                ):
                     out_rows.append((doc_id, kind, text, media_ref, order))
                 if len(out_rows) >= 20000:
                     yield pd.DataFrame(out_rows, columns=_OUT_COLS)
@@ -300,6 +317,11 @@ def extract_spans(
       multi-hundred-page doc must not serialize one task.
     """
     if sections is None:
+        if decoder != "synthetic":
+            # the synthetic form schema belongs to the synthetic decoder;
+            # a native deployment must supply its own (the analogue of the
+            # reference's sections.json input, extractor.py:948-951)
+            raise ValueError("extract_spans(decoder='native') requires explicit sections")
         from pdf_parser_spark.fixtures.generator import form_schemas
 
         sections = form_schemas()

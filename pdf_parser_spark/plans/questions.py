@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 
 from pdf_parser_spark import config as C
-from pdf_parser_spark.fixtures.generator import crop_tokens, highlight_ocr
+from pdf_parser_spark.sources.perception import SyntheticPerception
 from pdf_parser_spark.functions.text import (
     flex_contains,
     flex_startswith,
@@ -294,7 +294,10 @@ def match_question_sections(
     next_page_tokens: list[dict] | None,
     img_w: int = C.PAGE_W,
     img_h: int = C.PAGE_H,
+    env=None,
 ) -> list[dict]:
+    if env is None:
+        env = SyntheticPerception(tokens)
     anchors, ordered, bands = _bands_from_regions(sections, regions, img_h)
     # crop re-OCR views are deterministic per (y1c, y2c); questions in
     # one section share crop bounds, so memoize the built view
@@ -304,7 +307,7 @@ def match_question_sections(
         key = (y1c, y2c)
         view = crop_views.get(key)
         if view is None:
-            view = QAPage(crop_tokens(tokens, 0, y1c, img_w, y2c))
+            view = QAPage(env.crop_tokens(0, y1c, img_w, y2c))
             crop_views[key] = view
         return view
 
@@ -393,8 +396,11 @@ def attach_answers(
     highlights: list[dict] | None,
     img_w: int = C.PAGE_W,
     img_h: int = C.PAGE_H,
+    env=None,
 ) -> list[dict]:
     highlights = highlights or []
+    if env is None:
+        env = SyntheticPerception(tokens, highlights)
     line_list = page.a_lines
 
     def right_bound(qlist, cur):
@@ -494,7 +500,7 @@ def attach_answers(
             if not _is_yes_no(q.get("question", "")):
                 continue
             aw = q["answer_window"]
-            rec = highlight_ocr(highlights, aw)
+            rec = env.highlight_ocr(aw)
             if rec in ("Yes", "No"):
                 q["answer"] = rec
                 q["answer_inferred"] = False
@@ -511,8 +517,7 @@ def attach_answers(
                     y1 = int(last_seg_y + off)
                     if y1 + band_h > img_h:
                         break
-                    rec = highlight_ocr(
-                        highlights,
+                    rec = env.highlight_ocr(
                         {"x_start": aw["x_start"], "y_start": y1,
                          "x_end": aw["x_end"], "y_end": y1 + band_h},
                     )
@@ -523,8 +528,7 @@ def attach_answers(
                         break
             if not q.get("answer"):
                 for pi in range(1, PROBE_BANDS + 1):
-                    rec = highlight_ocr(
-                        highlights,
+                    rec = env.highlight_ocr(
                         {"x_start": aw["x_start"], "y_start": aw["y_start"] + pi * band_h,
                          "x_end": aw["x_end"], "y_end": aw["y_start"] + (pi + 1) * band_h},
                     )
@@ -589,8 +593,8 @@ def attach_answers(
                 continue
             kept = [
                 str(t["text"]).strip()
-                for t in crop_tokens(
-                    tokens, int(aw["x_start"]), int(aw["y_start"]),
+                for t in env.crop_tokens(
+                    int(aw["x_start"]), int(aw["y_start"]),
                     int(aw["x_end"]), int(aw["y_end"]),
                 )
                 if str(t["text"]).strip()
@@ -686,9 +690,12 @@ def page_responses(
     next_page_tokens: list[dict] | None = None,
     img_w: int = C.PAGE_W,
     img_h: int = C.PAGE_H,
+    env=None,
 ) -> list[dict]:
     page = QAPage(tokens)
     matches = match_question_sections(
-        tokens, page, question_sections, regions, next_page_tokens, img_w, img_h
+        tokens, page, question_sections, regions, next_page_tokens, img_w, img_h, env=env
     )
-    return attach_answers(tokens, page, matches, checkboxes, highlights, img_w, img_h)
+    return attach_answers(
+        tokens, page, matches, checkboxes, highlights, img_w, img_h, env=env
+    )

@@ -11,15 +11,15 @@ arrays. Two interchangeable decoders:
   (SURVEY.md §5.2.3: the reference's geometry stack consumes only the
   OCR dict + match list, so injecting these exercises everything
   downstream deterministically).
-- ``native``: the real kernel chain — pypdfium2 rasterize @300 DPI
-  (reference: /root/reference/extractor.py:960-976), OpenCV preprocess
-  (extractor.py:108-137), cv2.matchTemplate checkbox detection
-  (extractor.py:139-153), Tesseract image_to_data OCR
-  (extractor.py:987-989). The CV/OCR libs are not installed in this
-  container, so the native path import-gates and raises
-  ``NotImplementedError`` with the exact kernel contract; the Spark
-  plumbing (schema, batching, partitioning) is identical for both and
-  is what the tests exercise.
+- ``native``: the real kernel chain — rasterize @300 DPI (reference:
+  /root/reference/extractor.py:960-976), preprocess SHARPEN → contrast
+  1.15 → CLAHE(2.0, 8) → unsharp(1.2, 1.3) (extractor.py:108-137),
+  TM_CCOEFF_NORMED template match ≥0.6 (extractor.py:139-153), OCR
+  PSM 6 (extractor.py:987-989). The image kernels are real numpy code
+  in ``sources.kernels`` (unit-tested everywhere); only the external
+  rasterize/OCR binaries are import-gated (pypdfium2 / pytesseract),
+  with worker-side bindings via ``perception.configure_native``. Both
+  pipeline modes accept both decoders.
 
 Scale notes: the decode stage is the dominant cost at 10^12 docs. It
 runs on page-granular rows after a round-robin repartition, so one
@@ -103,21 +103,34 @@ def _synthetic_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _native_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    try:
-        import cv2  # noqa: F401
-        import pypdfium2  # noqa: F401
-        import pytesseract  # noqa: F401
-    except ImportError as e:  # pragma: no cover - libs absent in sandbox
-        raise NotImplementedError(
-            "native perception kernels (pypdfium2 rasterize @300DPI -> "
-            "cv2 preprocess [SHARPEN, contrast x1.15, CLAHE clip=2.0 "
-            "tile=8, unsharp r=1.2 a=1.3] -> cv2.matchTemplate "
-            "TM_CCOEFF_NORMED vs 37x37 ticked/unticked templates, "
-            "threshold 0.6 -> pytesseract image_to_data PSM 6) require "
-            "cv2/pypdfium2/pytesseract, not installed in this container; "
-            "use decoder='synthetic'"
-        ) from e
-    raise NotImplementedError("native decode wiring pending CV libs")  # pragma: no cover
+    """K1-K4 native decode: media_ref → page image → preprocess →
+    template match → OCR, all via the real numpy kernels in
+    ``sources.kernels`` (reference chain: /root/reference/extractor.py:
+    956-989, 108-137, 139-153). The OCR call itself is import-gated
+    (Tesseract) and worker-bindable via ``perception.configure_native``.
+
+    The payload carries the media_ref alongside (tokens, matches) so the
+    downstream Q/A layer can rebuild a :class:`NativePerception` for
+    crop re-OCR / highlight recovery after the doc_id shuffle —
+    re-rasterizing on demand instead of shuffling pixels.
+    """
+    import pickle
+
+    from pdf_parser_spark import config as C
+    from pdf_parser_spark.sources import kernels as K
+    from pdf_parser_spark.sources import perception as P
+
+    ticked, empty = P.load_templates()
+    payloads = []
+    for media_ref in pdf["media_ref"]:
+        rgb = P.load_page_rgb(str(media_ref))
+        tokens, matches, _pre = K.native_page_perception(
+            rgb, ticked, empty, C.TEMPLATE_THRESHOLD, ocr=P.native_ocr_tokens
+        )
+        payloads.append(pickle.dumps((tokens, matches, [], str(media_ref)), protocol=5))
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "page_no": pdf["page_no"], "payload": payloads}
+    )
 
 
 _DECODERS = {"synthetic": _synthetic_decode_batch, "native": _native_decode_batch}
@@ -148,17 +161,44 @@ def perceive(pages: DataFrame, decoder: str = "synthetic", parallelism: int | No
     return pages.mapInPandas(run, schema=PERCEPTION_SCHEMA)
 
 
-def decode_pages_for_doc(doc_id: str, spans: list[dict], decoder: str = "synthetic"):
+def decode_doc(doc_id: str, spans: list[dict], decoder: str = "synthetic"):
     """Doc-local decode for the fused pipeline mode: media spans (in
-    offset order) → {page_no: (tokens, matches)}. The synthetic decoder
-    derives perception deterministically from (doc_id, page_no); the
-    native decoder would rasterize+OCR the bytes behind media_ref."""
-    if decoder != "synthetic":
-        raise NotImplementedError("fused mode currently supports the synthetic decoder")
-    from pdf_parser_spark.fixtures.generator import page_perception
+    offset order) → (pages, envs) where pages maps page_no →
+    (tokens, matches, highlights) and envs maps page_no → the page's
+    perception environment (crop re-OCR / highlight recovery, K5/K6).
 
+    - synthetic: perception derives deterministically from
+      (doc_id, page_no); env is the synthetic model (built downstream
+      from the page's tokens+highlights — envs stays empty).
+    - native: rasterize + preprocess + template-match + OCR via the real
+      kernels; env wraps the in-memory preprocessed page (decode and
+      geometry share the task in fused mode, so no re-rasterize).
+    """
     media = [s for s in sorted(spans, key=lambda s: s["offset"]) if s["kind"] != "text"]
-    return {i + 1: page_perception(doc_id, i + 1) for i in range(len(media))}
+    if decoder == "synthetic":
+        from pdf_parser_spark.fixtures.generator import page_perception
+
+        return {i + 1: page_perception(doc_id, i + 1) for i in range(len(media))}, {}
+
+    from pdf_parser_spark import config as C
+    from pdf_parser_spark.sources import kernels as K
+    from pdf_parser_spark.sources import perception as P
+
+    ticked, empty = P.load_templates()
+    pages, envs = {}, {}
+    for i, span in enumerate(media):
+        rgb = P.load_page_rgb(str(span["media_ref"]))
+        tokens, matches, pre = K.native_page_perception(
+            rgb, ticked, empty, C.TEMPLATE_THRESHOLD, ocr=P.native_ocr_tokens
+        )
+        pages[i + 1] = (tokens, matches, [])
+        envs[i + 1] = P.NativePerception(page_pre=pre)
+    return pages, envs
+
+
+def decode_pages_for_doc(doc_id: str, spans: list[dict], decoder: str = "synthetic"):
+    """Back-compat wrapper: pages mapping only (both decoders accepted)."""
+    return decode_doc(doc_id, spans, decoder)[0]
 
 
 def tokens_relation(perception: DataFrame) -> DataFrame:
