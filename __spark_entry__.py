@@ -41,7 +41,7 @@ from pdf_parser_spark.operators.multimodal import (
     media_transform,
 )
 from pdf_parser_spark.operators.similarity import (
-    bucketed_ann_topk,
+    banded_ann_topk,
     cosine_topk,
     embedding_neardup_pairs,
 )
@@ -536,9 +536,16 @@ sh AS (SELECT doc_id, source,
 
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking key: shingle-count band (width 16). Near-dup pairs have
+    similar shingle counts (J ≥ t bounds the size ratio), and band
+    population is bounded by the corpus length distribution — unlike the
+    round-1 ``source`` key, which goes quadratic inside one popular
+    source at corpus scale."""
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", 3)
-    pairs = jaccard_pairs(sh, "doc_id", "shingles", F.col("source"), 0.12)
+    pairs = jaccard_pairs(
+        sh, "doc_id", "shingles", F.floor(F.size("shingles") / 16), 0.12
+    )
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -549,8 +556,10 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.shingles, b.shingles)) /
              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
              6) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingles, b.shingles)) /
+FROM sh a JOIN sh b
+  ON len(a.shingles) // 16 = len(b.shingles) // 16 AND a.doc_id < b.doc_id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND round(len(list_intersect(a.shingles, b.shingles)) /
             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
             6) >= 0.12
 ORDER BY id_a, id_b
@@ -639,57 +648,93 @@ SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
 """
 
 
+_ANN_BANDS, _ANN_BITS = 4, 8
+
+
 def q_s2_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe banded sign-LSH ANN (4 bands × 8 bits over disjoint
+    dims): per-band expected bucket size ~N/256, candidates OR'd across
+    bands then exact-cosine re-ranked — replaces the round-1 single
+    6-bit bucket (64 buckets → N²/64 join fan-out, single-probe recall
+    loss)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     corpus = emb.select("vec_id", "embedding")
-    return bucketed_ann_topk(
-        corpus, queries, "vec_id", "embedding", "query_id", "qv", 3, bits=6
+    return banded_ann_topk(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", 3,
+        bands=_ANN_BANDS, bits=_ANN_BITS,
     ).orderBy("query_id", "rk")
 
 
-def _sign_bucket_sql(col: str, bits: int = 6) -> str:
-    return " + ".join(
-        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
+def _band_keys_sql(col: str, bands: int = _ANN_BANDS, bits: int = _ANN_BITS) -> tuple[str, str]:
+    """(band_id list, band_key list) literals for zipped unnest."""
+    keys = [
+        " + ".join(
+            f"(CASE WHEN {col}[{j * bits + b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        for j in range(bands)
+    ]
+    return "[" + ", ".join(str(j) for j in range(bands)) + "]", "[" + ", ".join(keys) + "]"
 
+
+_BAND_IDS_SQL, _BAND_KEYS_SQL = _band_keys_sql("embedding")
 
 _S2_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
-                  {_sign_bucket_sql('embedding')} AS bucket
-           FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             {_sign_bucket_sql('embedding')} AS bucket FROM embeddings),
-pairs AS (
-  SELECT query_id, vec_id,
-         round(list_dot_product(qv, v) /
-               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
-  FROM c JOIN q USING (bucket) WHERE vec_id <> query_id),
+WITH qb AS (SELECT vec_id AS query_id,
+                   unnest({_BAND_IDS_SQL}) AS band_id,
+                   unnest({_BAND_KEYS_SQL}) AS band_key
+            FROM embeddings WHERE vec_id < 5),
+cb AS (SELECT vec_id,
+              unnest({_BAND_IDS_SQL}) AS band_id,
+              unnest({_BAND_KEYS_SQL}) AS band_key
+       FROM embeddings),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id
+         FROM cb c JOIN qb q ON c.band_id = q.band_id AND c.band_key = q.band_key
+         WHERE c.vec_id <> q.query_id),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_dot_product(qv.v, cv.v) /
+               (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
+               6) AS cos_sim
+  FROM cand JOIN v cv ON cv.vec_id = cand.vec_id
+            JOIN v qv ON qv.vec_id = cand.query_id),
 r AS (SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
-      FROM pairs)
+      FROM scored)
 SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
 """
 
 
 def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the same multi-probe banding as s2 (pairs
+    agreeing in ANY band become candidates; exact cosine verifies)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3, bits=6).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 0.3, bands=_ANN_BANDS, bits=_ANN_BITS
+    ).orderBy("id_a", "id_b")
 
 
 _D5_SQL = f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  {_sign_bucket_sql('embedding')} AS bucket FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+WITH cb AS (SELECT vec_id,
+                   unnest({_BAND_IDS_SQL}) AS band_id,
+                   unnest({_BAND_KEYS_SQL}) AS band_key
+            FROM embeddings),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM cb a JOIN cb b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         WHERE a.vec_id < b.vec_id),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b,
+       round(list_dot_product(va.v, vb.v) /
+             (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+             6) AS cos_sim
+FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+WHERE round(list_dot_product(va.v, vb.v) /
+            (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+            6) >= 0.3
 ORDER BY id_a, id_b
 """
 
@@ -723,14 +768,24 @@ def q_m2_media_metadata_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-_M_SQL = """
+# first/last BYTE of the UTF-8 payload via hex — byte-exact with the
+# Spark side for non-ASCII text (ascii(substr(...)) would yield the
+# first character's CODEPOINT, which diverges from the first byte for
+# any multi-byte character; round-1 ADVICE)
+_FIRST_BYTE_SQL = "CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER)"
+_LAST_BYTE_SQL = (
+    "CAST(concat('0x', substr(hex(encode(text)),"
+    " octet_length(encode(text)) * 2 - 1, 2)) AS INTEGER)"
+)
+
+_M_SQL = f"""
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        'image' AS media_kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-                 ELSE 64 + ascii(substr(text, 1, 1)) % 192 END AS INTEGER) AS width,
+                 ELSE 64 + {_FIRST_BYTE_SQL} % 192 END AS INTEGER) AS width,
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-                 ELSE 64 + ascii(substr(text, length(text), 1)) % 192 END AS INTEGER) AS height,
+                 ELSE 64 + {_LAST_BYTE_SQL} % 192 END AS INTEGER) AS height,
        md5(text) AS checksum
 FROM documents ORDER BY media_id
 """
@@ -750,9 +805,21 @@ def q_x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x1_oracle_sql(sf: str) -> str:
+    """x1's oracle reads the committed golden parquet. Provenance: the
+    golden is produced by this repo's pure-Python transcription oracle
+    (tools/make_golden.py, citing reference lines per function) — the
+    gate therefore verifies engine-vs-transcription; transcription-vs-
+    reference fidelity is pinned by the cited-line review in
+    oracle/*.py. The path derives from this file's location so the
+    gate works from any checkout directory."""
+    import os
+
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden", f"x1_{sf}.parquet"
+    )
     return (
-        "SELECT doc_id, kind, text, media_ref, \"order\" FROM "
-        f"read_parquet('/root/repo/golden/x1_{sf}.parquet') "
+        'SELECT doc_id, kind, text, media_ref, "order" FROM '
+        f"read_parquet('{golden}') "
         'ORDER BY doc_id, "order"'
     )
 
@@ -771,13 +838,13 @@ def q_m3_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_transform(payloads, "doc_id", "payload", "media_kind").orderBy("media_id")
 
 
-_M3_SQL = """
+_M3_SQL = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_kind,
          octet_length(encode(text)) AS blen,
-         64 + ascii(substr(text, 1, 1)) % 192 AS w,
-         64 + ascii(substr(text, length(text), 1)) % 192 AS h
+         64 + {_FIRST_BYTE_SQL} % 192 AS w,
+         64 + {_LAST_BYTE_SQL} % 192 AS h
   FROM documents),
 scaled AS (
   SELECT *, least(64.0 / w, 64.0 / h, 1.0) AS scale FROM base),

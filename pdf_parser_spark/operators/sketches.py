@@ -13,12 +13,37 @@ stream" (RANDOM 2002) — the classic KMV bottom-k construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators.dedup import md5_long
 
 HASH_SPACE = float(1 << 60)  # md5_long yields 15 hex chars = 60 bits
+
+
+def _partial_bottom_k(group_col: str, k: int):
+    """Per-task partial sketch: for each group seen in this input
+    partition, keep only its k smallest distinct hashes. State is
+    bounded at k values per group per task; the pass is narrow (no
+    shuffle) — the map-side combiner the round-1 plan lacked (the old
+    window row_number sorted EVERY distinct hash of a group on one
+    reducer, a scale-killer for high-cardinality groups)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[object, list] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False)["h"]:
+                merged = pd.concat([pd.Series(state[g]), sub]) if g in state else sub
+                state[g] = merged.drop_duplicates().nsmallest(k).tolist()
+        yield pd.DataFrame(
+            [(g, h) for g, hs in state.items() for h in hs], columns=[group_col, "h"]
+        )
+
+    return run
 
 
 def kmv_distinct(
@@ -27,22 +52,32 @@ def kmv_distinct(
     """Per-group approximate distinct count of ``value_col``.
 
     Exact when a group has fewer than k distinct values (the sketch
-    holds them all); the KMV estimate otherwise."""
-    hashed = df.select(
-        F.col(group_col), md5_long(F.col(value_col)).alias("h")
-    ).distinct()
-    w = Window.partitionBy(group_col).orderBy("h")
-    bottom_k = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    agg = bottom_k.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_hash")
+    holds them all); the KMV estimate otherwise.
+
+    Physical plan: two-phase bottom-k. Phase 1 (narrow) computes a
+    partial bottom-k sketch per (group, task) — bottom-k of a union is
+    the bottom-k of the per-part bottom-k's, so this is algebraic, like
+    a partial aggregate. Phase 2 shuffles only the ≤ k·tasks candidate
+    hashes per group and merges with sort+slice on arrays of ≤ k·tasks
+    elements. The estimate is identical to the single-pass form (and to
+    the DuckDB oracle's window formulation) at any partitioning."""
+    hashed = df.select(F.col(group_col), md5_long(F.col(value_col)).alias("h"))
+    gtype = df.schema[group_col].dataType.simpleString()
+    partials = hashed.mapInPandas(
+        _partial_bottom_k(group_col, k), schema=f"{group_col} {gtype}, h bigint"
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise((F.lit(float(k - 1))) / (F.col("kth_hash") / F.lit(HASH_SPACE)))
+    agg = partials.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias("bk")
+    )
+    n_kept = F.size("bk")
+    kth = F.element_at(F.col("bk"), n_kept)
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth / F.lit(HASH_SPACE))
+    )
     return agg.select(
         F.col(group_col),
         F.round(est, 2).alias("distinct_est"),
-        F.col("n_kept").alias("sketch_size"),
+        n_kept.cast("bigint").alias("sketch_size"),
     )
 
 

@@ -1,0 +1,105 @@
+"""Dedup/sketch/ANN operator edge cases (round-1 ADVICE + VERDICT).
+
+The short-document crash: ``F.sequence(0, k-1)`` with k=0 produced a
+descending array and slice() raised INVALID_PARAMETER_VALUE.START on
+any doc with fewer words than the shingle width — ubiquitous in real
+corpora. These tests pin the fix and the scale-fixed KMV/ANN rewrites.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    word_shingles,
+)
+from pdf_parser_spark.operators.similarity import banded_ann_topk, cosine_topk
+from pdf_parser_spark.operators.sketches import kmv_distinct
+
+
+@pytest.fixture()
+def short_docs(spark):
+    return spark.createDataFrame(
+        [
+            ("d0", ""),
+            ("d1", "one"),
+            ("d2", "one two"),
+            ("d3", "one two three"),
+            ("d4", "one two three four five six"),
+            ("d5", "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_shingles_short_docs(short_docs):
+    rows = {
+        r["doc_id"]: r["shingles"]
+        for r in word_shingles(short_docs, "text", 3).collect()
+    }
+    assert rows["d0"] == [] and rows["d1"] == [] and rows["d2"] == []
+    assert rows["d3"] == ["one two three"]
+    assert len(rows["d4"]) == 4
+
+
+def test_jaccard_pairs_survive_short_docs(short_docs):
+    sh = word_shingles(short_docs, "text", 3)
+    pairs = jaccard_pairs(
+        sh, "doc_id", "shingles", F.floor(F.size("shingles") / 16), 0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("d4", "d5")}
+
+
+def test_minhash_lsh_survives_short_docs(short_docs):
+    sh = word_shingles(short_docs, "text", 3)
+    pairs = minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.5).collect()
+    # identical docs pair; the shingle-less docs neither crash nor pair
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("d4", "d5")}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_kmv_exact_below_k_and_partition_invariant(spark):
+    rows = [("g1", f"v{i}") for i in range(5)] * 3 + [("g2", f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=8).collect()}
+    assert out["g1"]["distinct_est"] == 5.0 and out["g1"]["sketch_size"] == 5
+    assert out["g2"]["sketch_size"] == 8
+    assert out["g2"]["distinct_est"] > 8
+    # two-phase bottom-k must be partitioning-invariant (algebraic merge)
+    out1 = {
+        r["grp"]: r["distinct_est"]
+        for r in kmv_distinct(df.repartition(1), "grp", "val", k=8).collect()
+    }
+    out13 = {
+        r["grp"]: r["distinct_est"]
+        for r in kmv_distinct(df.repartition(13), "grp", "val", k=8).collect()
+    }
+    assert out1 == out13 == {g: r["distinct_est"] for g, r in out.items()}
+
+
+def test_banded_ann_finds_exact_neighbors_of_clustered_data(spark):
+    # clustered vectors: near-identical pairs share all sign bits, so
+    # multi-probe banding must achieve exact top-1 recall here
+    import random
+
+    rnd = random.Random(11)
+    base = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in range(6)]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((2 * i, [float(x) for x in b]))
+        rows.append((2 * i + 1, [float(x + 0.001) for x in b]))  # near-dup twin
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ann = banded_ann_topk(
+        emb, queries, "vec_id", "embedding", "query_id", "qv", 1, bands=4, bits=8
+    ).collect()
+    brute = cosine_topk(
+        emb, queries, "vec_id", "embedding", "query_id", "qv", 1
+    ).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in ann} == {
+        (r["query_id"], r["vec_id"]) for r in brute
+    }
+    assert all(r["vec_id"] == r["query_id"] + 1 for r in ann)  # twin wins
