@@ -8,6 +8,23 @@ and a marker row is committed only after the write succeeds — so a
 kill between write and marker replays that group exactly, never
 duplicating and never skipping.
 
+Layout (round-2 fixes from the round-1 review):
+
+- The input is staged ONCE as a ``_bucket``-partitioned parquet layout,
+  so each group's read prunes to its bucket directories instead of
+  re-scanning the full table per group (G groups previously = G full
+  scans). At Iceberg scale the staging step disappears entirely: a
+  table partitioned by ``bucket(N, doc_id)`` already has this layout,
+  and the group filter becomes partition pruning on the scan.
+- ``read_extracted`` derives its directory list from the COMMITTED
+  markers rather than globbing ``group=*`` — a crash between write and
+  marker can leave an uncommitted directory, and a resume with a
+  different group_size can orphan stale ones; both are invisible to
+  readers now. Resume also deletes unmarked group directories before
+  reprocessing, keeping the layout clean.
+- A ``_meta.json`` records ``n_buckets``; resuming with a different
+  value raises instead of silently mis-bucketing.
+
 Production mapping: the marker table is Iceberg snapshot metadata
 (each group commit = one snapshot carrying the bucket list as a
 snapshot property); the per-group directories become partitions of the
@@ -24,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,14 +53,72 @@ def _bucket_col(n_buckets: int):
 
 
 def completed_buckets(out_dir: str) -> set[int]:
-    progress = os.path.join(out_dir, "_progress")
     done: set[int] = set()
-    if os.path.isdir(progress):
-        for name in os.listdir(progress):
-            if name.endswith(".json"):
-                with open(os.path.join(progress, name)) as f:
-                    done.update(json.load(f)["buckets"])
+    for m in _markers(out_dir).values():
+        done.update(m["buckets"])
     return done
+
+
+def _markers(out_dir: str) -> dict[str, dict]:
+    """Committed group markers, keyed by group directory name."""
+    progress = os.path.join(out_dir, "_progress")
+    out: dict[str, dict] = {}
+    if os.path.isdir(progress):
+        for name in sorted(os.listdir(progress)):
+            if name.startswith("group_") and name.endswith(".json"):
+                with open(os.path.join(progress, name)) as f:
+                    m = json.load(f)
+                out[m.get("dir", f"group={min(m['buckets'])}")] = m
+    return out
+
+
+def _check_meta(out_dir: str, n_buckets: int) -> None:
+    meta_path = os.path.join(out_dir, "_progress", "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but checkpoint was written "
+                f"with n_buckets={meta['n_buckets']}; bucket assignment would shift"
+            )
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+        os.replace(tmp, meta_path)
+
+
+def _stage_bucketed(
+    spark: SparkSession, docs: DataFrame, out_dir: str, n_buckets: int
+) -> DataFrame:
+    """One full input scan → bucket-partitioned staging layout; resumes
+    reuse it (the _SUCCESS marker gates completeness). Per-group filters
+    on ``_bucket`` then prune to bucket directories at the source."""
+    staged = os.path.join(out_dir, "_staged_docs")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        (
+            docs.withColumn("_bucket", _bucket_col(n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staged)
+        )
+    return spark.read.parquet(staged)
+
+
+def _clean_uncommitted(out_dir: str) -> list[str]:
+    """Delete span group directories that have no committed marker
+    (partial writes from a crash, or leftovers from a different
+    group_size)."""
+    spans_dir = os.path.join(out_dir, "spans")
+    committed = set(_markers(out_dir))
+    removed = []
+    if os.path.isdir(spans_dir):
+        for name in os.listdir(spans_dir):
+            if name.startswith("group=") and name not in committed:
+                shutil.rmtree(os.path.join(spans_dir, name))
+                removed.append(name)
+    return removed
 
 
 def extract_with_checkpoint(
@@ -63,17 +139,20 @@ def extract_with_checkpoint(
     from pdf_parser_spark.plans.extract import extract_spans
 
     os.makedirs(os.path.join(out_dir, "_progress"), exist_ok=True)
+    _check_meta(out_dir, n_buckets)
+    removed = _clean_uncommitted(out_dir)
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
-    bucketed = docs.withColumn("_bucket", _bucket_col(n_buckets))
+    staged = _stage_bucketed(spark, docs, out_dir, n_buckets)
 
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
     metrics_rows = []
     for gi, group in enumerate(groups):
         t0 = time.time()
-        sub = bucketed.filter(F.col("_bucket").isin(group)).drop("_bucket")
+        sub = staged.filter(F.col("_bucket").isin(group)).drop("_bucket")
         out = extract_spans(sub, sections=sections, mode=mode)
-        group_dir = os.path.join(out_dir, "spans", f"group={min(group)}")
+        group_name = f"group={min(group)}"
+        group_dir = os.path.join(out_dir, "spans", group_name)
         out.write.mode("overwrite").parquet(group_dir)
 
         # lineage/metrics for this partition group (replaces the
@@ -87,6 +166,7 @@ def extract_with_checkpoint(
             .collect()[0]
         )
         marker = {
+            "dir": group_name,
             "buckets": group,
             "docs": stats["docs"],
             "spans": stats["spans"],
@@ -106,19 +186,23 @@ def extract_with_checkpoint(
     return {
         "resumed_from": len(done),
         "groups_run": len(groups),
+        "cleaned_dirs": removed,
         "metrics": metrics_rows,
     }
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "spans", "group=*"))
+    """Read ONLY committed group outputs (the marker log is the source
+    of truth — an uncommitted directory from a crash is not data)."""
+    dirs = [
+        os.path.join(out_dir, "spans", name)
+        for name in _markers(out_dir)
+        if os.path.isdir(os.path.join(out_dir, "spans", name))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed span groups under {out_dir}")
+    return spark.read.parquet(*dirs)
 
 
 def read_metrics(out_dir: str) -> list[dict]:
-    progress = os.path.join(out_dir, "_progress")
-    rows = []
-    for name in sorted(os.listdir(progress)):
-        if name.endswith(".json"):
-            with open(os.path.join(progress, name)) as f:
-                rows.append(json.load(f))
-    return rows
+    return list(_markers(out_dir).values())

@@ -15,6 +15,7 @@ from pdf_parser_spark.fixtures.generator import (
 )
 from pdf_parser_spark.oracle import reference_oracle as O
 from pdf_parser_spark.plans.extract import extract_document, extract_spans, lineage_metrics
+from pdf_parser_spark.testing.span_diff import span_diff
 
 N_DOCS = 40
 
@@ -42,7 +43,7 @@ def test_local_engine_matches_oracle():
         }
         got = extract_document(doc_spans(doc_id), pages, form_schemas())
         exp = _oracle_spans(doc_id)
-        assert got == exp, f"span mismatch for {doc_id}"
+        assert got == exp, span_diff(got, exp, doc_id)
 
 
 @pytest.mark.parametrize("mode", ["fused", "paged"])
@@ -58,7 +59,7 @@ def test_spark_pipeline_matches_oracle(spark, fixture_dir, mode):
         doc_id = f"doc_{i:08d}"
         got = sorted(by_doc[doc_id], key=lambda t: t[3])
         exp = _oracle_spans(doc_id)
-        assert got == exp, f"span mismatch for {doc_id}"
+        assert got == exp, span_diff(got, exp, doc_id)
 
 
 def test_lineage_metrics(spark, fixture_dir):
