@@ -295,7 +295,7 @@ def extract_spans(
     sections: list[dict] | None = None,
     decoder: str = "synthetic",
     parallelism: int | None = None,
-    mode: str = "fused",
+    mode: str = "auto",
 ) -> DataFrame:
     """documents → flat output-span rows (doc_id, kind, text, media_ref, order).
 
@@ -315,7 +315,13 @@ def extract_spans(
       per-group pandas machinery). Correct choice when decode is the
       dominant cost (real rasterize+OCR kernels at 1-3 s/page) and a
       multi-hundred-page doc must not serialize one task.
+    - ``mode="auto"`` (default): pick by decoder — the native decoder's
+      per-page cost (rasterize + OCR, seconds) dwarfs the payload
+      shuffle, so it gets the paged plan; the synthetic decoder's
+      near-zero decode cost makes fused strictly better.
     """
+    if mode == "auto":
+        mode = "paged" if decoder != "synthetic" else "fused"
     if sections is None:
         if decoder != "synthetic":
             # the synthetic form schema belongs to the synthetic decoder;

@@ -128,7 +128,8 @@ def extract_with_checkpoint(
     n_buckets: int = 32,
     group_size: int = 8,
     sections: list[dict] | None = None,
-    mode: str = "fused",
+    mode: str = "auto",
+    decoder: str = "synthetic",
     fail_after_groups: int | None = None,
 ) -> dict:
     """Run the extraction pipeline resumably.
@@ -150,7 +151,7 @@ def extract_with_checkpoint(
     for gi, group in enumerate(groups):
         t0 = time.time()
         sub = staged.filter(F.col("_bucket").isin(group)).drop("_bucket")
-        out = extract_spans(sub, sections=sections, mode=mode)
+        out = extract_spans(sub, sections=sections, mode=mode, decoder=decoder)
         group_name = f"group={min(group)}"
         group_dir = os.path.join(out_dir, "spans", group_name)
         out.write.mode("overwrite").parquet(group_dir)
