@@ -230,7 +230,13 @@ def _assemble_stream_factory(sections: list[dict]):
     per-group pandas machinery: one Python loop over Arrow batches."""
     import pickle
 
+    from pdf_parser_spark.sources import perception as P
+
+    specs = P.binding_specs()  # lazy NativePerception in the Q/A layer
+    # needs the same worker-side loader/OCR bindings as the decode stage
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        P.apply_binding_specs(specs)
         state = {"doc": None, "spans": None, "pages": {}}
         out_rows: list[tuple] = []
 
@@ -269,9 +275,13 @@ def _fused_factory(sections: list[dict], decoder: str):
     narrow pass (no shuffle). Used when decode cost ≪ transport cost."""
     import pickle as _p  # noqa: F401  (parity of imports with stream path)
 
+    from pdf_parser_spark.sources import perception as P
     from pdf_parser_spark.sources.decoder import decode_doc
 
+    specs = P.binding_specs()  # dotted-path bindings travel to workers
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        P.apply_binding_specs(specs)
         out_rows: list[tuple] = []
         for pdf in batches:
             for doc_id, spans_cell in zip(pdf["doc_id"], pdf["spans"]):

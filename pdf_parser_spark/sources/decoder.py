@@ -143,8 +143,12 @@ def perceive(pages: DataFrame, decoder: str = "synthetic", parallelism: int | No
     (skew by granularity). Default: leave partitioning as-is.
     """
     decode = _DECODERS[decoder]
+    from pdf_parser_spark.sources import perception as P
+
+    specs = P.binding_specs()  # captured at plan time, re-applied per worker
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P.apply_binding_specs(specs)
         for pdf in batches:
             if len(pdf):
                 # bounded work-budget: decode in chunks so a batch of

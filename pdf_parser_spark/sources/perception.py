@@ -144,17 +144,42 @@ def resolve_callable(spec: str) -> Callable:
     return obj
 
 
+# dotted-path specs recorded at configure time: driver-side module state
+# does NOT reach forked Python workers, so the decoder UDF factories
+# capture these strings at plan time and re-apply them inside each
+# worker process (strings pickle; callables configured directly apply
+# to the current process only).
+_binding_specs: dict[str, str] = {}
+
+
 def configure_native(media_loader: str | Callable | None = None,
                      ocr: str | Callable | None = None,
                      yesno_ocr: str | Callable | None = None) -> None:
-    """Worker-side native-perception configuration; string values are
-    dotted ``module:attr`` paths (resolvable on any executor)."""
+    """Native-perception configuration; string values are dotted
+    ``module:attr`` paths (resolvable on any executor and shipped to
+    workers automatically by the decode/assembly UDFs)."""
+    for key, val in (("media_loader", media_loader), ("ocr", ocr), ("yesno_ocr", yesno_ocr)):
+        if isinstance(val, str):
+            _binding_specs[key] = val
     if media_loader is not None:
         set_media_loader(resolve_callable(media_loader) if isinstance(media_loader, str) else media_loader)
     set_native_ocr(
         resolve_callable(ocr) if isinstance(ocr, str) else ocr,
         resolve_callable(yesno_ocr) if isinstance(yesno_ocr, str) else yesno_ocr,
     )
+
+
+def binding_specs() -> dict[str, str]:
+    """The current dotted-path bindings (picklable, for UDF closures)."""
+    return dict(_binding_specs)
+
+
+def apply_binding_specs(specs: dict[str, str]) -> None:
+    """Re-apply captured bindings inside a worker process (idempotent)."""
+    if specs:
+        configure_native(
+            specs.get("media_loader"), specs.get("ocr"), specs.get("yesno_ocr")
+        )
 
 
 def load_page_rgb(media_ref: str, page_index: int = 0, dpi: int = 300) -> np.ndarray:
