@@ -83,8 +83,22 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         "cpus": cpus,
     }
     result.update(_deltas_vs_prev(timings))
+    result.update(_scaling_evidence())
     spark.stop()
     return result
+
+
+def _scaling_evidence() -> dict:
+    """Latest two-parallelism scaling measurement (tools/bench_scaling.py
+    writes it; measured fresh-JVM best-of-3 on the skewed corpus — too
+    slow to recompute inside every bench run). Carries the north-rule
+    two-cluster-size evidence into the per-round BENCH record."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "scaling.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {"scaling": json.load(f)}
 
 
 def _deltas_vs_prev(timings: dict[str, float]) -> dict:

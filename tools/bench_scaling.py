@@ -163,8 +163,13 @@ document cannot serialize one task.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff_2_8": round(e28, 3), "eff_8_32": round(e832, 3),
-                      "thr": {c: r["docs_per_sec"] for c, r in results.items()}}))
+    summary = {"eff_2_8": round(e28, 3), "eff_8_32": round(e832, 3),
+               "n_docs": results[2]["n_docs"],
+               "thr": {c: r["docs_per_sec"] for c, r in results.items()},
+               "runs": {c: r["runs"] for c, r in results.items()}}
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f)  # bench.py embeds this in the round record
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
