@@ -37,6 +37,26 @@ from __future__ import annotations
 
 import numpy as np
 
+# Optional OpenCV acceleration: when cv2 is installed (real executors),
+# the heavy kernels delegate to the library the reference's semantics
+# are DEFINED against (cv2.matchTemplate, cv2.GaussianBlur,
+# cv2.createCLAHE, cvtColor, adaptiveThreshold, dilate) — 10-100× the
+# numpy path's speed, which matters at 10^12 pages. The numpy
+# implementations below remain the tested semantic reference (and the
+# only path exercised in this sandbox); ``set_use_cv2(False)`` forces
+# numpy everywhere, e.g. to cross-check the two paths where cv2 exists.
+try:  # pragma: no cover - cv2 absent in this sandbox
+    import cv2 as _cv2
+except ImportError:
+    _cv2 = None
+
+_USE_CV2 = _cv2 is not None
+
+
+def set_use_cv2(flag: bool) -> None:
+    global _USE_CV2
+    _USE_CV2 = bool(flag) and _cv2 is not None
+
 # ---------------------------------------------------------------------------
 # K2a — PIL-equivalent sharpen + contrast
 # ---------------------------------------------------------------------------
@@ -126,6 +146,8 @@ def _srgb_delinearize(v: np.ndarray) -> np.ndarray:
 def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
     """cv2 ``COLOR_RGB2LAB`` on uint8 (sRGB gamma, D65), 8-bit encoding
     L*255/100, a+128, b+128."""
+    if _USE_CV2:  # pragma: no cover - sandbox lacks cv2
+        return _cv2.cvtColor(np.ascontiguousarray(rgb), _cv2.COLOR_RGB2LAB)
     lin = _LINEARIZE_LUT[rgb]
     xyz = lin @ _SRGB2XYZ.T / _D65
     f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
@@ -137,6 +159,8 @@ def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
 
 def lab_to_rgb_u8(lab: np.ndarray) -> np.ndarray:
     """cv2 ``COLOR_LAB2RGB`` inverse of :func:`rgb_to_lab_u8`."""
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.cvtColor(np.ascontiguousarray(lab), _cv2.COLOR_LAB2RGB)
     L = lab[..., 0].astype(np.float64) * 100.0 / 255.0
     a = lab[..., 1].astype(np.float64) - 128.0
     b = lab[..., 2].astype(np.float64) - 128.0
@@ -152,6 +176,8 @@ def lab_to_rgb_u8(lab: np.ndarray) -> np.ndarray:
 def rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
     """cv2 ``COLOR_RGB2GRAY``: 0.299R + 0.587G + 0.114B, OpenCV's
     14-bit fixed-point rounding."""
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.cvtColor(np.ascontiguousarray(rgb), _cv2.COLOR_RGB2GRAY)
     r = rgb[..., 0].astype(np.uint32)
     g = rgb[..., 1].astype(np.uint32)
     b = rgb[..., 2].astype(np.uint32)
@@ -162,6 +188,8 @@ def rgb_to_hsv_u8(rgb: np.ndarray) -> np.ndarray:
     """cv2 8-bit HSV (H in 0..179). The reference converts the crop
     RGB→BGR→HSV (response_extractor.py:839-840), which equals RGB→HSV
     of the original array."""
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.cvtColor(np.ascontiguousarray(rgb), _cv2.COLOR_RGB2HSV)
     arr = rgb.astype(np.float64)
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     v = arr.max(axis=-1)
@@ -200,6 +228,9 @@ def clahe_u8(channel: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np
     - output = bilinear interpolation between the four surrounding tile
       LUTs at each pixel (tile centers as knots, edges clamped)
     """
+    if _USE_CV2:  # pragma: no cover
+        clahe = _cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(tiles, tiles))
+        return clahe.apply(np.ascontiguousarray(channel))
     h, w = channel.shape
     th = -(-h // tiles)  # ceil
     tw = -(-w // tiles)
@@ -275,6 +306,8 @@ def gaussian_kernel_1d(sigma: float, ksize: int = 0) -> np.ndarray:
 def gaussian_blur_u8(gray: np.ndarray, sigma: float) -> np.ndarray:
     """cv2 ``GaussianBlur(src, (0,0), sigma)``: separable kernel,
     BORDER_REFLECT_101 (numpy 'reflect')."""
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.GaussianBlur(np.ascontiguousarray(gray), (0, 0), sigma)
     k = gaussian_kernel_1d(sigma)
     r = len(k) // 2
     padded = np.pad(gray.astype(np.float64), r, mode="reflect")
@@ -339,6 +372,11 @@ def match_template_ccoeff_normed(gray: np.ndarray, tmpl: np.ndarray) -> np.ndarr
     handling mirrors OpenCV's crossCorr epilogue (flat window → 0, near-
     saturated ratio → ±1).
     """
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.matchTemplate(
+            np.ascontiguousarray(gray), np.ascontiguousarray(tmpl),
+            _cv2.TM_CCOEFF_NORMED,
+        )
     img = gray.astype(np.float64)
     t = tmpl.astype(np.float64)
     h, w = t.shape
@@ -422,6 +460,11 @@ def adaptive_threshold_mean(gray: np.ndarray, max_value: int = 255,
                             block: int = 21, c: float = 9.0) -> np.ndarray:
     """cv2 ``adaptiveThreshold(ADAPTIVE_THRESH_MEAN_C, THRESH_BINARY)``:
     dst = maxval where src > round(local_mean) − ceil(C)."""
+    if _USE_CV2:  # pragma: no cover
+        return _cv2.adaptiveThreshold(
+            np.ascontiguousarray(gray), max_value, _cv2.ADAPTIVE_THRESH_MEAN_C,
+            _cv2.THRESH_BINARY, block, c,
+        )
     mean = np.rint(box_mean_u8(gray, block))
     return np.where(gray.astype(np.int32) > mean - int(np.ceil(c)), max_value, 0).astype(np.uint8)
 
@@ -429,6 +472,9 @@ def adaptive_threshold_mean(gray: np.ndarray, max_value: int = 255,
 def dilate_u8(img: np.ndarray, ksize: int = 2, iterations: int = 1) -> np.ndarray:
     """cv2 ``dilate`` with a ksize×ksize ones kernel, default anchor
     (ksize//2): max over the kernel footprint, out-of-bounds ignored."""
+    if _USE_CV2:  # pragma: no cover
+        kernel = np.ones((ksize, ksize), np.uint8)
+        return _cv2.dilate(np.ascontiguousarray(img), kernel, iterations=iterations)
     out = img
     anchor = ksize // 2
     for _ in range(iterations):
