@@ -80,11 +80,44 @@ def banded_sign_keys(vec: Column, bands: int, bits: int) -> Column:
     return F.array(*keys)
 
 
+def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
+                           seed: int = 7) -> Column:
+    """Per-band keys from SEEDED RANDOM ±1 hyperplanes — the variant for
+    anisotropic embeddings where raw-dimension signs are correlated
+    (axis-aligned bands then under-spread). Plane weights are
+    deterministic ±1 literals (reproducible anywhere from the seed, so
+    an external oracle can re-derive them); key bit b of band j is the
+    sign of <vec, w(j,b)>. Same plan shape as banded_sign_keys: use
+    with the same band join."""
+    import random
+
+    rnd = random.Random(seed)
+    keys = []
+    for j in range(bands):
+        key = F.lit(0).cast("bigint")
+        for b in range(bits):
+            w = [rnd.choice((-1.0, 1.0)) for _ in range(dim)]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda v, c: v.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            key = key + F.when(proj > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        keys.append(key)
+    return F.array(*keys)
+
+
 def _banded(df: DataFrame, id_col: str, vec_col: str, bands: int, bits: int,
-            id_alias: str) -> DataFrame:
+            id_alias: str, keys_fn=banded_sign_keys) -> DataFrame:
     return df.select(
         F.col(id_col).alias(id_alias),
-        F.posexplode(banded_sign_keys(F.col(vec_col), bands, bits)).alias(
+        F.posexplode(keys_fn(F.col(vec_col), bands, bits)).alias(
             "band_id", "band_key"
         ),
     )

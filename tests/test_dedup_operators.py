@@ -14,7 +14,11 @@ from pdf_parser_spark.operators.dedup import (
     minhash_lsh_pairs,
     word_shingles,
 )
-from pdf_parser_spark.operators.similarity import banded_ann_topk, cosine_topk
+from pdf_parser_spark.operators.similarity import (
+    banded_ann_topk,
+    cosine_topk,
+    random_hyperplane_keys,
+)
 from pdf_parser_spark.operators.sketches import kmv_distinct
 
 
@@ -103,3 +107,37 @@ def test_banded_ann_finds_exact_neighbors_of_clustered_data(spark):
         (r["query_id"], r["vec_id"]) for r in brute
     }
     assert all(r["vec_id"] == r["query_id"] + 1 for r in ann)  # twin wins
+
+
+def test_random_hyperplane_keys_deterministic_and_locality(spark):
+    """Seeded hyperplane bands: (a) reproducible across invocations,
+    (b) near-identical vectors share every band key, (c) an
+    anisotropic corpus (all first-dims positive — axis-aligned signs
+    give ONE bucket) spreads across hyperplane buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(3)
+    # anisotropic: every dim in (0.5, 1.5) -> all raw signs positive
+    base = [[rnd.uniform(0.5, 1.5) for _ in range(16)] for _ in range(8)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x + 1e-6) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def keyed(seed):
+        return {
+            r["vec_id"]: r["k"]
+            for r in df.select(
+                "vec_id",
+                random_hyperplane_keys(F.col("embedding"), 16, 3, 4, seed=seed).alias("k"),
+            ).collect()
+        }
+
+    k1, k2 = keyed(7), keyed(7)
+    assert k1 == k2  # deterministic
+    for i in range(8):
+        assert k1[i] == k1[100 + i]  # near-dup twins agree in every band
+    # anisotropy spread: more than one distinct key per band
+    per_band = {b: {k1[i][b] for i in range(8)} for b in range(3)}
+    assert any(len(s) > 1 for s in per_band.values())
