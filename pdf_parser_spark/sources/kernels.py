@@ -83,11 +83,11 @@ def sharpen_rgb(rgb: np.ndarray) -> np.ndarray:
     out = rgb.copy()
     if rgb.shape[0] < 3 or rgb.shape[1] < 3:
         return out
-    img = rgb.astype(np.float64)
-    ii = np.pad(img, ((1, 0), (1, 0), (0, 0))).cumsum(0).cumsum(1)
-    box = ii[3:, 3:] - ii[:-3, 3:] - ii[3:, :-3] + ii[:-3, :-3]  # 3x3 sums at interior
-    acc = 34.0 * img[1:-1, 1:-1] - 2.0 * box
-    out[1:-1, 1:-1] = _clip_u8(acc / 16.0)
+    img = rgb.astype(np.int32)
+    rows = img[:-2] + img[1:-1] + img[2:]  # vertical 3-sums
+    box = rows[:, :-2] + rows[:, 1:-1] + rows[:, 2:]  # 3x3 box sums at interior
+    acc = 34 * img[1:-1, 1:-1] - 2 * box
+    out[1:-1, 1:-1] = _clip_u8(acc.astype(np.float32) / 16.0)
     return out
 
 
@@ -127,20 +127,37 @@ def _srgb_linearize(v: np.ndarray) -> np.ndarray:
 
 # uint8 input has 256 possible values → table-driven linearization
 # (the same trick OpenCV's fixed-point Lab path uses)
-_LINEARIZE_LUT = _srgb_linearize(np.arange(256) / 255.0)
+_LINEARIZE_LUT = _srgb_linearize(np.arange(256) / 255.0).astype(np.float32)
 
-# delinearization gets a dense interpolation table (4096 knots over
-# [0,1]); max abs error < 1e-4 in 0..255 units — below the final rint
-_DELIN_KNOTS = np.linspace(0.0, 1.0, 4096)
-_DELIN_LUT = np.where(
-    _DELIN_KNOTS <= 0.0031308,
-    _DELIN_KNOTS * 12.92,
-    1.055 * _DELIN_KNOTS ** (1 / 2.4) - 0.055,
-)
+# delinearization via a dense 64k-entry uint8 output table: linear
+# value quantized to 1/65535 → table holds the final rounded 0..255
+# level. Max quantization error ≈ slope(12.92) · (1/131070) · 255
+# ≈ 0.025 gray levels — far below the rounding step.
+_DELIN_STEPS = 65535
+_DELIN_KNOTS = np.linspace(0.0, 1.0, _DELIN_STEPS + 1)
+_DELIN_LUT8 = np.clip(
+    np.rint(
+        np.where(
+            _DELIN_KNOTS <= 0.0031308,
+            _DELIN_KNOTS * 12.92,
+            1.055 * _DELIN_KNOTS ** (1 / 2.4) - 0.055,
+        )
+        * 255.0
+    ),
+    0,
+    255,
+).astype(np.uint8)
 
 
 def _srgb_delinearize(v: np.ndarray) -> np.ndarray:
-    return np.interp(np.clip(v, 0.0, 1.0), _DELIN_KNOTS, _DELIN_LUT)
+    """Float delinearization (kept for generic callers/tests)."""
+    vv = np.clip(v, 0.0, 1.0)
+    return np.where(vv <= 0.0031308, vv * 12.92, 1.055 * vv ** (1 / 2.4) - 0.055)
+
+
+def _delinearize_to_u8(lin: np.ndarray) -> np.ndarray:
+    idx = np.clip(np.rint(lin * _DELIN_STEPS), 0, _DELIN_STEPS).astype(np.int32)
+    return _DELIN_LUT8[idx]
 
 
 def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
@@ -149,8 +166,8 @@ def rgb_to_lab_u8(rgb: np.ndarray) -> np.ndarray:
     if _USE_CV2:  # pragma: no cover - sandbox lacks cv2
         return _cv2.cvtColor(np.ascontiguousarray(rgb), _cv2.COLOR_RGB2LAB)
     lin = _LINEARIZE_LUT[rgb]
-    xyz = lin @ _SRGB2XYZ.T / _D65
-    f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
+    xyz = lin @ (_SRGB2XYZ.T / _D65).astype(np.float32)
+    f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + np.float32(16.0 / 116.0))
     L = 116.0 * f[..., 1] - 16.0
     a = 500.0 * (f[..., 0] - f[..., 1]) + 128.0
     b = 200.0 * (f[..., 1] - f[..., 2]) + 128.0
@@ -161,16 +178,18 @@ def lab_to_rgb_u8(lab: np.ndarray) -> np.ndarray:
     """cv2 ``COLOR_LAB2RGB`` inverse of :func:`rgb_to_lab_u8`."""
     if _USE_CV2:  # pragma: no cover
         return _cv2.cvtColor(np.ascontiguousarray(lab), _cv2.COLOR_LAB2RGB)
-    L = lab[..., 0].astype(np.float64) * 100.0 / 255.0
-    a = lab[..., 1].astype(np.float64) - 128.0
-    b = lab[..., 2].astype(np.float64) - 128.0
-    fy = (L + 16.0) / 116.0
-    fx = fy + a / 500.0
-    fz = fy - b / 200.0
+    L = lab[..., 0].astype(np.float32) * np.float32(100.0 / 255.0)
+    a = lab[..., 1].astype(np.float32) - np.float32(128.0)
+    b = lab[..., 2].astype(np.float32) - np.float32(128.0)
+    fy = (L + 16.0) / np.float32(116.0)
+    fx = fy + a / np.float32(500.0)
+    fz = fy - b / np.float32(200.0)
     f = np.stack([fx, fy, fz], axis=-1)
-    xyz = np.where(f**3 > 0.008856, f**3, (f - 16.0 / 116.0) / 7.787) * _D65
-    lin = xyz @ _XYZ2SRGB.T
-    return _clip_u8(_srgb_delinearize(np.clip(lin, 0, None)) * 255.0)
+    f3 = f * f * f
+    xyz = np.where(f3 > 0.008856, f3, (f - np.float32(16.0 / 116.0)) / np.float32(7.787))
+    xyz *= _D65.astype(np.float32)
+    lin = xyz @ _XYZ2SRGB.T.astype(np.float32)
+    return _delinearize_to_u8(np.clip(lin, 0.0, 1.0))
 
 
 def rgb_to_gray_u8(rgb: np.ndarray) -> np.ndarray:
