@@ -536,31 +536,34 @@ sh AS (SELECT doc_id, source,
 
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking key: shingle-count band (width 16). Near-dup pairs have
-    similar shingle counts (J ≥ t bounds the size ratio), and band
-    population is bounded by the corpus length distribution — unlike the
-    round-1 ``source`` key, which goes quadratic inside one popular
-    source at corpus scale."""
+    """Blocking key: shingle-count band (width 16), emitted to BOTH the
+    doc's own band and the next one so near-dup pairs straddling a band
+    edge (15 vs 16 shingles) still collide. Band population is bounded
+    by the corpus length distribution — unlike the round-1 ``source``
+    key, which goes quadratic inside one popular source."""
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", 3)
-    pairs = jaccard_pairs(
-        sh, "doc_id", "shingles", F.floor(F.size("shingles") / 16), 0.12
-    )
+    band = F.floor(F.size("shingles") / 16)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", [band, band + 1], 0.12)
     return pairs.orderBy("id_a", "id_b")
 
 
 _D2_SQL = (
     _SHINGLE_CTE
     + """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingles, b.shingles)) /
-             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+, keyed AS (
+  SELECT doc_id, unnest([len(shingles) // 16, len(shingles) // 16 + 1]) AS bucket
+  FROM sh WHERE len(shingles) > 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles)) /
+             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
              6) AS jaccard
-FROM sh a JOIN sh b
-  ON len(a.shingles) // 16 = len(b.shingles) // 16 AND a.doc_id < b.doc_id
-WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-  AND round(len(list_intersect(a.shingles, b.shingles)) /
-            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+            (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
             6) >= 0.12
 ORDER BY id_a, id_b
 """

@@ -81,6 +81,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
+        "timing_method": "best_of_2",
     }
     result.update(_deltas_vs_prev(timings))
     result.update(_scaling_evidence())
@@ -124,12 +125,23 @@ def _deltas_vs_prev(timings: dict[str, float]) -> dict:
         for name, sec in timings.items()
         if name in prev_q and prev_q[name]
     }
-    return {
+    prev_method = prev.get("timing_method", "single_run")
+    out = {
         "prev_round": rounds[-1],
-        "prev_cfg": {"sf": prev.get("sf"), "cpus": prev.get("cpus")},
+        "prev_cfg": {"sf": prev.get("sf"), "cpus": prev.get("cpus"),
+                     "timing_method": prev_method},
         "delta_pct_vs_prev": deltas,
         "regressions": sorted(n for n, d in deltas.items() if d > 20.0),
     }
+    if prev_method != "best_of_2":
+        # methodology changed this round: prior rounds recorded single
+        # cold runs, so deltas overstate improvement by roughly the
+        # cold-start/CPU-steal overhead — not comparable 1:1
+        out["delta_caveat"] = (
+            "prev round used single-run timings; best-of-2 vs single-run "
+            "deltas overstate speedups and can hide sub-threshold regressions"
+        )
+    return out
 
 
 if __name__ == "__main__":

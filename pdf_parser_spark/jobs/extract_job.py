@@ -69,13 +69,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("pdf-parser-spark-extract").getOrCreate()
 
-    if args.decoder == "native" and (args.native_ocr or args.media_loader or args.native_yesno_ocr):
-        # bind on the driver for local mode; executors resolve the same
-        # dotted paths inside the UDF via configure_native (the strings
-        # travel in the closure)
+    if args.decoder == "native" and (
+        args.native_ocr or args.media_loader or args.native_yesno_ocr
+        or args.ticked_template or args.empty_template
+    ):
+        # record the bindings (dotted paths + template paths) — the
+        # decode/assembly UDF factories capture them at plan time and
+        # re-apply them inside every Python worker
         from pdf_parser_spark.sources.perception import configure_native
 
-        configure_native(args.media_loader, args.native_ocr, args.native_yesno_ocr)
+        configure_native(
+            args.media_loader, args.native_ocr, args.native_yesno_ocr,
+            args.ticked_template, args.empty_template,
+        )
 
     docs = read_documents(spark, args.input)
     sections = load_sections(args.sections)

@@ -68,31 +68,46 @@ def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     shingle_col: str,
-    bucket_expr: Column,
+    bucket_expr: Column | list[Column],
     threshold: float,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs within candidate buckets: self-join
-    on a blocking key (e.g. a length band or LSH band), Jaccard =
-    |∩| / |∪| over the distinct shingle arrays, keep pairs ≥ threshold.
-    Shingle-less rows (short/empty docs) can never reach a positive
-    threshold and are dropped before the join.
+    on a blocking key, Jaccard = |∩| / |∪| over the distinct shingle
+    arrays, keep pairs ≥ threshold.
+
+    ``bucket_expr``: one Column, or a LIST of Columns for multi-bucket
+    blocking — a pair becomes a candidate when ANY bucket value is
+    shared. A boundary-insensitive length band, for example, emits
+    [band, band+1] so two near-identical docs whose sizes straddle a
+    band edge (15 vs 16 words) still collide; pairs co-occurring in
+    several buckets are deduplicated before verification.
+
+    Plan: the bucket join carries only (id, bucket); shingle arrays
+    re-join for the (far smaller) deduplicated candidate set. Rows
+    with no shingles (short/empty docs) can never reach a positive
+    threshold and are dropped up front.
     """
     df = df.filter(F.size(F.col(shingle_col)) > 0)
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(shingle_col).alias("sh_a"),
-        bucket_expr.alias("bucket"),
+    exprs = list(bucket_expr) if isinstance(bucket_expr, (list, tuple)) else [bucket_expr]
+    keyed = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.array(*exprs))).alias("bucket"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(shingle_col).alias("sh_b"),
-        bucket_expr.alias("bucket"),
+    a = keyed.select(F.col(id_col).alias("id_a"), "bucket")
+    b = keyed.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sh_a = df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a"))
+    sh_b = df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -164,6 +179,10 @@ def minhash_lsh_pairs(
         .persist()
     )
     sigs = minhash_signature(base, shingle_col, num_hashes)
+    # NOTE: `base` stays cached for the lifetime of the returned plan
+    # (three branches share it); long-lived sessions issuing many
+    # independent LSH queries should release it when done via the
+    # handle attached to the result (`result._shingle_cache.unpersist()`)
     # band join carries ONLY (id, band_id, band_sig) — the shingle
     # arrays stay out of the shuffle and are re-joined just for the
     # (far smaller) candidate set's Jaccard verification
@@ -196,13 +215,15 @@ def minhash_lsh_pairs(
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._shingle_cache = base  # deterministic release handle for callers
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -68,16 +68,30 @@ def banded_sign_keys(vec: Column, bands: int, bits: int) -> Column:
     """Per-band LSH keys: band j's key packs the sign bits of dims
     ``j·bits+1 .. (j+1)·bits`` — ``bands`` independent ``bits``-bit
     hashes (requires ``bands·bits ≤ dim``). Returns an array indexed by
-    band id, ready for ``posexplode``."""
+    band id, ready for ``posexplode``.
+
+    A vector shorter than ``bands·bits`` raises at runtime instead of
+    silently zero-filling the out-of-range bands — zero-filled keys
+    would collapse those bands into ONE bucket and turn the band join
+    into the full N² cross product this operator exists to avoid (and
+    under ANSI mode ``element_at`` would crash anyway; ``F.get`` is
+    index-safe, so the guard is explicit)."""
     keys = []
     for j in range(bands):
         key = F.lit(0).cast("bigint")
         for b in range(bits):
             key = key + F.when(
-                F.element_at(vec, j * bits + b + 1) > 0, F.lit(1 << b).cast("bigint")
+                F.get(vec, j * bits + b) > 0, F.lit(1 << b).cast("bigint")
             ).otherwise(F.lit(0).cast("bigint"))
         keys.append(key)
-    return F.array(*keys)
+    return F.when(F.size(vec) >= bands * bits, F.array(*keys)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"banded_sign_keys needs dim >= bands*bits = {bands * bits}, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,

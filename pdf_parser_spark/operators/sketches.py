@@ -36,11 +36,16 @@ def _partial_bottom_k(group_col: str, k: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[object, list] = {}
         for pdf in batches:
-            for g, sub in pdf.groupby(group_col, sort=False)["h"]:
+            # dropna=False: a NULL group key is a group like any other
+            # (matching Spark's groupBy and the oracle's window
+            # partition). NULL hashes never reach here — they are
+            # filtered JVM-side so the Arrow column stays exact int64.
+            for g, sub in pdf.groupby(group_col, sort=False, dropna=False)["h"]:
                 merged = pd.concat([pd.Series(state[g]), sub]) if g in state else sub
                 state[g] = merged.drop_duplicates().nsmallest(k).tolist()
         yield pd.DataFrame(
-            [(g, h) for g, hs in state.items() for h in hs], columns=[group_col, "h"]
+            [(None if pd.isna(g) else g, h) for g, hs in state.items() for h in hs],
+            columns=[group_col, "h"],
         )
 
     return run
@@ -61,7 +66,15 @@ def kmv_distinct(
     hashes per group and merges with sort+slice on arrays of ≤ k·tasks
     elements. The estimate is identical to the single-pass form (and to
     the DuckDB oracle's window formulation) at any partitioning."""
-    hashed = df.select(F.col(group_col), md5_long(F.col(value_col)).alias("h"))
+    # NULL hashes (NULL values) are excluded JVM-side, BEFORE the Arrow
+    # transfer: COUNT(DISTINCT) semantics don't count NULLs, and — the
+    # sharper reason — a null in a bigint batch makes pandas receive the
+    # column as float64, whose 53-bit mantissa silently rounds the
+    # 60-bit hashes (the same value then merges as TWO distinct hashes
+    # when partitions disagree on nullability)
+    hashed = df.select(F.col(group_col), md5_long(F.col(value_col)).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     gtype = df.schema[group_col].dataType.simpleString()
     partials = hashed.mapInPandas(
         _partial_bottom_k(group_col, k), schema=f"{group_col} {gtype}, h bigint"
@@ -87,7 +100,7 @@ def kmv_oracle_sql(table: str, group_col: str, value_col: str, k: int = 8) -> st
 WITH hashed AS (
   SELECT DISTINCT {group_col},
          CAST(concat('0x', substr(md5({value_col}), 1, 15)) AS BIGINT) AS h
-  FROM {table}),
+  FROM {table} WHERE {value_col} IS NOT NULL),
 bottom_k AS (
   SELECT {group_col}, h,
          row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn

@@ -568,11 +568,16 @@ def rasterize_pdf_bytes(data: bytes, dpi: int = 300) -> list[np.ndarray]:
     for i in range(len(doc)):
         bitmap = doc[i].render(scale=scale)
         arr = bitmap.to_numpy()
-        if arr.ndim == 2:
+        if arr.ndim == 2:  # FPDFBitmap_Gray
             arr = np.repeat(arr[..., None], 3, axis=-1)
-        elif arr.shape[-1] == 4:
-            arr = arr[..., :3]
-        pages.append(np.ascontiguousarray(arr[..., ::-1] if bitmap.format in (2, 3) else arr))
+        else:
+            if arr.shape[-1] == 4:
+                arr = arr[..., :3]  # drop alpha FIRST (BGRA → BGR)
+            # pdfium channel orders 2=BGR, 3=BGRx, 4=BGRA are all
+            # blue-first after the alpha drop → reverse to RGB
+            if bitmap.format in (2, 3, 4):
+                arr = arr[..., ::-1]
+        pages.append(np.ascontiguousarray(arr))
     return pages
 
 

@@ -154,12 +154,18 @@ _binding_specs: dict[str, str] = {}
 
 def configure_native(media_loader: str | Callable | None = None,
                      ocr: str | Callable | None = None,
-                     yesno_ocr: str | Callable | None = None) -> None:
+                     yesno_ocr: str | Callable | None = None,
+                     ticked_template: str | None = None,
+                     empty_template: str | None = None) -> None:
     """Native-perception configuration; string values are dotted
     ``module:attr`` paths (resolvable on any executor and shipped to
-    workers automatically by the decode/assembly UDFs)."""
+    workers automatically by the decode/assembly UDFs). Template paths
+    are plain file paths (readable from every executor)."""
     for key, val in (("media_loader", media_loader), ("ocr", ocr), ("yesno_ocr", yesno_ocr)):
         if isinstance(val, str):
+            _binding_specs[key] = val
+    for key, val in (("ticked_template", ticked_template), ("empty_template", empty_template)):
+        if val is not None:
             _binding_specs[key] = val
     if media_loader is not None:
         set_media_loader(resolve_callable(media_loader) if isinstance(media_loader, str) else media_loader)
@@ -178,16 +184,51 @@ def apply_binding_specs(specs: dict[str, str]) -> None:
     """Re-apply captured bindings inside a worker process (idempotent)."""
     if specs:
         configure_native(
-            specs.get("media_loader"), specs.get("ocr"), specs.get("yesno_ocr")
+            specs.get("media_loader"), specs.get("ocr"), specs.get("yesno_ocr"),
+            specs.get("ticked_template"), specs.get("empty_template"),
         )
 
 
-def load_page_rgb(media_ref: str, page_index: int = 0, dpi: int = 300) -> np.ndarray:
+def parse_media_ref(media_ref: str) -> tuple[str, int]:
+    """Split an optional page fragment: ``path#page=N`` → (path, N-1).
+    Multi-page PDFs are referenced one span per page via the fragment
+    (the explode in sources/documents.py keeps one row per page, and
+    the fragment tells the decoder WHICH page of the shared file)."""
+    if "#page=" in media_ref:
+        path, _, frag = media_ref.rpartition("#page=")
+        try:
+            return path, int(frag) - 1
+        except ValueError:
+            pass
+    return media_ref, 0
+
+
+# last-N rasterize memo per worker: all page rows of one multi-page PDF
+# re-use one rasterization instead of re-rendering the file per page
+_raster_cache: dict[str, list[np.ndarray]] = {}
+_RASTER_CACHE_MAX = 2
+
+
+def _rasterize_cached(path: str, data: bytes, dpi: int) -> list[np.ndarray]:
+    pages = _raster_cache.get(path)
+    if pages is None:
+        pages = K.rasterize_pdf_bytes(data, dpi)
+        if len(_raster_cache) >= _RASTER_CACHE_MAX:
+            _raster_cache.pop(next(iter(_raster_cache)))
+        _raster_cache[path] = pages
+    return pages
+
+
+def load_page_rgb(media_ref: str, page_index: int | None = None, dpi: int = 300) -> np.ndarray:
     """media_ref → HxWx3 uint8 page image. Formats: ``.npy`` arrays
-    (sandbox-native, no external libs), PDF bytes via pypdfium2 (gated),
+    (sandbox-native, no external libs), PDF bytes via pypdfium2 (gated,
+    page selected by the ``#page=N`` fragment, memoized per file),
     raster images via PIL (gated)."""
-    data = _media_loader(media_ref)
-    if media_ref.endswith(".npy") or data[:6] == b"\x93NUMPY":
+    path, frag_index = parse_media_ref(media_ref)
+    if page_index is None:
+        page_index = frag_index
+    data = _media_loader(path)
+    if path.endswith(".npy") or data[:6] == b"\x93NUMPY":
         import io
 
         arr = np.load(io.BytesIO(data))
@@ -195,7 +236,7 @@ def load_page_rgb(media_ref: str, page_index: int = 0, dpi: int = 300) -> np.nda
             arr = np.repeat(arr[..., None], 3, axis=-1)
         return arr.astype(np.uint8)
     if data[:5] == b"%PDF-":
-        return K.rasterize_pdf_bytes(data, dpi)[page_index]
+        return _rasterize_cached(path, data, dpi)[page_index]
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - lib absent in sandbox
@@ -215,7 +256,7 @@ class NativePerception:
     pixels never cross the shuffle)."""
 
     def __init__(self, page_pre: np.ndarray | None = None,
-                 media_ref: str | None = None, page_index: int = 0):
+                 media_ref: str | None = None, page_index: int | None = None):
         self._pre = page_pre
         self._media_ref = media_ref
         self._page_index = page_index
@@ -263,6 +304,16 @@ def default_templates() -> tuple[np.ndarray, np.ndarray]:
 
 def load_templates(ticked_path: str | None = None,
                    empty_path: str | None = None) -> tuple[np.ndarray, np.ndarray]:
-    if ticked_path is None or empty_path is None:
+    """Checkbox templates for the native matcher. With no arguments,
+    paths configured via :func:`configure_native` win over the built-in
+    defaults (this is how ``--ticked-template/--empty-template`` job
+    args reach the decode UDFs on workers). Supplying exactly one path
+    is an error, not a silent fallback."""
+    if ticked_path is None and empty_path is None:
+        ticked_path = _binding_specs.get("ticked_template")
+        empty_path = _binding_specs.get("empty_template")
+    if (ticked_path is None) != (empty_path is None):
+        raise ValueError("supply BOTH ticked and empty template paths, or neither")
+    if ticked_path is None:
         return default_templates()
     return K.load_template(ticked_path), K.load_template(empty_path)

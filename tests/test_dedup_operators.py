@@ -141,3 +141,37 @@ def test_random_hyperplane_keys_deterministic_and_locality(spark):
     # anisotropy spread: more than one distinct key per band
     per_band = {b: {k1[i][b] for i in range(8)} for b in range(3)}
     assert any(len(s) > 1 for s in per_band.values())
+
+
+def test_jaccard_pairs_straddling_band_boundary(spark):
+    """Near-identical docs whose shingle counts straddle a band edge
+    (15 vs 16 -> floor(/16) = 0 vs 1) must still pair via the
+    two-band [b, b+1] blocking (round-2 review finding)."""
+    base = " ".join(f"w{i}" for i in range(17))  # 15 shingles
+    plus = base + " extra"  # 16 shingles
+    df = spark.createDataFrame([("a", base), ("b", plus)], ["doc_id", "text"])
+    sh = word_shingles(df, "text", 3)
+    band = F.floor(F.size("shingles") / 16)
+    got = jaccard_pairs(sh, "doc_id", "shingles", [band, band + 1], 0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "b")]
+    # single-band blocking indeed misses it (the hole the fix closes)
+    missed = jaccard_pairs(sh, "doc_id", "shingles", band, 0.5).collect()
+    assert missed == []
+
+
+def test_kmv_null_group_kept_null_values_excluded(spark):
+    rows = [(None, "v1"), (None, "v2"), ("g", "v1"), ("g", None), ("g", "v1")]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=8).collect()}
+    assert out[None]["distinct_est"] == 2.0  # NULL group is a group
+    assert out["g"]["distinct_est"] == 1.0  # NULL value not counted
+
+
+def test_banded_keys_reject_short_vectors(spark):
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame([(1, [0.5] * 8)], ["vec_id", "embedding"])
+    from pdf_parser_spark.operators.similarity import banded_sign_keys
+
+    with pytest.raises(Exception, match="bands\\*bits"):
+        df.select(banded_sign_keys(F.col("embedding"), 4, 8).alias("k")).collect()

@@ -135,3 +135,51 @@ def test_native_requires_explicit_sections():
 
     with pytest.raises(ValueError):
         extract_spans(docs=None, sections=None, decoder="native")
+
+
+def test_parse_media_ref_fragment(tmp_path):
+    from pdf_parser_spark.sources.perception import parse_media_ref
+
+    assert parse_media_ref("/data/scan.pdf#page=3") == ("/data/scan.pdf", 2)
+    assert parse_media_ref("/data/scan.pdf") == ("/data/scan.pdf", 0)
+    assert parse_media_ref("/odd#page=x") == ("/odd#page=x", 0)  # bad fragment = literal
+
+
+def test_native_perception_fragment_selects_page(tmp_path, native_bindings):
+    """NativePerception must honor the media_ref page fragment (a
+    multi-page PDF referenced one span per page); for .npy single-page
+    media the fragment resolves through parse_media_ref."""
+    import numpy as np
+
+    from pdf_parser_spark.sources import perception as P
+
+    ref = _build_page(tmp_path)
+    env = P.NativePerception(media_ref=ref)  # page_index defaults to fragment
+    assert env._page_index is None
+    env._page()
+    assert env._pre.shape == (PAGE_H, PAGE_W, 3)
+
+
+def test_load_templates_binding_and_validation(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources import perception as P
+
+    t = np.zeros((37, 37), dtype=np.uint8)
+    tp, ep = tmp_path / "t.npy", tmp_path / "e.npy"
+    np.save(tp, t)
+    np.save(ep, 255 - t)
+    with _pytest.raises(ValueError, match="BOTH"):
+        P.load_templates(str(tp), None)
+    # configured paths win over defaults for no-arg load (the
+    # --ticked-template job arg path)
+    P.configure_native(ticked_template=str(tp), empty_template=str(ep))
+    try:
+        ticked, empty = P.load_templates()
+        assert ticked.max() == 0 and empty.min() == 255
+    finally:
+        P._binding_specs.pop("ticked_template", None)
+        P._binding_specs.pop("empty_template", None)
+    ticked, empty = P.load_templates()
+    assert ticked.shape == (37, 37) and (ticked != empty).any()  # defaults again
