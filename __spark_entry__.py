@@ -536,23 +536,34 @@ sh AS (SELECT doc_id, source,
 
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking key: shingle-count band (width 16), emitted to BOTH the
-    doc's own band and the next one so near-dup pairs straddling a band
-    edge (15 vs 16 shingles) still collide. Band population is bounded
-    by the corpus length distribution — unlike the round-1 ``source``
-    key, which goes quadratic inside one popular source."""
+    """Blocking: COMPLETE geometric length bands for the threshold
+    (operators.dedup.length_band_buckets) — J ≥ 0.5 bounds the pair's
+    size ratio by 2, log2 bands turn that into a band gap ≤ 1, and
+    emitting each doc to bands [b, b+1] guarantees every qualifying
+    pair shares a bucket (no silent recall loss at ANY band boundary —
+    fixed-width bands can't make that guarantee). Completeness is why
+    the threshold is 0.5 here: any complete length-only blocking at a
+    low threshold like 0.12 must pair docs across a ~8× size window
+    (buckets inherently huge) — the scale path for low thresholds is
+    MinHash LSH (d3), which blocks on content, not length."""
+    from pdf_parser_spark.operators.dedup import length_band_buckets
+
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", 3)
-    band = F.floor(F.size("shingles") / 16)
-    pairs = jaccard_pairs(sh, "doc_id", "shingles", [band, band + 1], 0.12)
+    buckets = length_band_buckets(F.size("shingles"), 0.5)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5)
     return pairs.orderBy("id_a", "id_b")
 
 
+_D2_BANDS_SQL = ", ".join(
+    f"CAST(floor(log2(greatest(len(shingles), 1))) AS BIGINT) + {i}" for i in range(2)
+)
+
 _D2_SQL = (
     _SHINGLE_CTE
-    + """
+    + f"""
 , keyed AS (
-  SELECT doc_id, unnest([len(shingles) // 16, len(shingles) // 16 + 1]) AS bucket
+  SELECT doc_id, unnest([{_D2_BANDS_SQL}]) AS bucket
   FROM sh WHERE len(shingles) > 0),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -564,7 +575,7 @@ SELECT id_a, id_b,
 FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
-            6) >= 0.12
+            6) >= 0.5
 ORDER BY id_a, id_b
 """
 )

@@ -64,6 +64,24 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
     return df.withColumn(out_col, F.array_sort(F.array_distinct(shingles)))
 
 
+def length_band_buckets(size_col: Column, threshold: float) -> list[Column]:
+    """COMPLETE length-band blocking for a Jaccard threshold: geometric
+    (log2) size bands, each row emitted to its own band plus the next
+    ``g = ceil(log2(1/t))`` bands. J ≥ t bounds the size ratio of a
+    pair by 1/t, log2-banding turns that into a band gap ≤ g, and the
+    g+1-band emission guarantees any qualifying pair shares a bucket —
+    unlike fixed-width bands, where a ratio-2 pair can sit arbitrarily
+    many bands apart (sizes 64 vs 128 are 4 width-16 bands apart).
+    Bucket population is bounded by the corpus size distribution within
+    a 2^(g+1)-ratio window. Pass the result to :func:`jaccard_pairs`.
+    """
+    import math
+
+    g = math.ceil(math.log2(1.0 / threshold)) if threshold < 1.0 else 0
+    band = F.floor(F.log2(F.greatest(size_col, F.lit(1)))).cast("bigint")
+    return [band + i for i in range(g + 1)]
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -85,9 +103,12 @@ def jaccard_pairs(
     Plan: the bucket join carries only (id, bucket); shingle arrays
     re-join for the (far smaller) deduplicated candidate set. Rows
     with no shingles (short/empty docs) can never reach a positive
-    threshold and are dropped up front.
+    threshold and are dropped up front. The (id, shingles) projection
+    is persisted across the three plan branches (keying + both verify
+    sides) — release via :func:`release_shingle_caches`.
     """
-    df = df.filter(F.size(F.col(shingle_col)) > 0)
+    df = df.filter(F.size(F.col(shingle_col)) > 0).persist()
+    _SHINGLE_CACHES.append(df)
     exprs = list(bucket_expr) if isinstance(bucket_expr, (list, tuple)) else [bucket_expr]
     keyed = df.select(
         F.col(id_col),
@@ -178,11 +199,8 @@ def minhash_lsh_pairs(
         .filter(F.size(F.col(shingle_col)) > 0)
         .persist()
     )
+    _SHINGLE_CACHES.append(base)  # release via release_shingle_caches()
     sigs = minhash_signature(base, shingle_col, num_hashes)
-    # NOTE: `base` stays cached for the lifetime of the returned plan
-    # (three branches share it); long-lived sessions issuing many
-    # independent LSH queries should release it when done via the
-    # handle attached to the result (`result._shingle_cache.unpersist()`)
     # band join carries ONLY (id, band_id, band_sig) — the shingle
     # arrays stay out of the shuffle and are re-joined just for the
     # (far smaller) candidate set's Jaccard verification
@@ -215,15 +233,31 @@ def minhash_lsh_pairs(
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    out = (
+    return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._shingle_cache = base  # deterministic release handle for callers
-    return out
+
+
+# Persisted (id, shingles) projections created by minhash_lsh_pairs:
+# the cache must outlive the returned (lazy) plan, and any transform
+# the caller applies returns a NEW DataFrame — so a handle attached to
+# the result would be lost. Long-lived sessions issuing many LSH
+# queries call release_shingle_caches() between them.
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle projection cached by prior
+    :func:`minhash_lsh_pairs` calls; returns how many were released."""
+    n = 0
+    while _SHINGLE_CACHES:
+        _SHINGLE_CACHES.pop().unpersist()
+        n += 1
+    return n
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

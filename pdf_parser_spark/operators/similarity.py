@@ -88,7 +88,7 @@ def banded_sign_keys(vec: Column, bands: int, bits: int) -> Column:
         F.raise_error(
             F.concat(
                 F.lit(f"banded_sign_keys needs dim >= bands*bits = {bands * bits}, got "),
-                F.size(vec).cast("string"),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
             )
         )
     )
@@ -129,7 +129,10 @@ def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
 
 def _banded(df: DataFrame, id_col: str, vec_col: str, bands: int, bits: int,
             id_alias: str, keys_fn=banded_sign_keys) -> DataFrame:
-    return df.select(
+    # rows with NULL vectors (docs that failed to embed) cannot be
+    # candidates and would otherwise trip the short-vector guard with a
+    # null-message error — drop them before keying
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(id_alias),
         F.posexplode(keys_fn(F.col(vec_col), bands, bits)).alias(
             "band_id", "band_key"

@@ -40,11 +40,15 @@ def _partial_bottom_k(group_col: str, k: int):
             # (matching Spark's groupBy and the oracle's window
             # partition). NULL hashes never reach here — they are
             # filtered JVM-side so the Arrow column stays exact int64.
+            # Keys normalize to None: a fresh NaN per batch would never
+            # match `g in state` (nan != nan) and fragment the NULL
+            # group into one bounded sketch PER BATCH.
             for g, sub in pdf.groupby(group_col, sort=False, dropna=False)["h"]:
-                merged = pd.concat([pd.Series(state[g]), sub]) if g in state else sub
-                state[g] = merged.drop_duplicates().nsmallest(k).tolist()
+                key = None if pd.isna(g) else g
+                merged = pd.concat([pd.Series(state[key]), sub]) if key in state else sub
+                state[key] = merged.drop_duplicates().nsmallest(k).tolist()
         yield pd.DataFrame(
-            [(None if pd.isna(g) else g, h) for g, hs in state.items() for h in hs],
+            [(g, h) for g, hs in state.items() for h in hs],
             columns=[group_col, "h"],
         )
 
@@ -72,12 +76,18 @@ def kmv_distinct(
     # column as float64, whose 53-bit mantissa silently rounds the
     # 60-bit hashes (the same value then merges as TWO distinct hashes
     # when partitions disagree on nullability)
-    hashed = df.select(F.col(group_col), md5_long(F.col(value_col)).alias("h")).filter(
-        F.col("h").isNotNull()
-    )
+    # group keys travel through the pandas stage AS STRINGS: a nullable
+    # numeric group column would otherwise arrive as float64 (the same
+    # 53-bit-mantissa corruption the h-filter above prevents for
+    # hashes, but on the GROUP KEY). Spark's numeric→string→numeric
+    # casts round-trip exactly, so the final select restores the type.
     gtype = df.schema[group_col].dataType.simpleString()
+    hashed = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        md5_long(F.col(value_col)).alias("h"),
+    ).filter(F.col("h").isNotNull())
     partials = hashed.mapInPandas(
-        _partial_bottom_k(group_col, k), schema=f"{group_col} {gtype}, h bigint"
+        _partial_bottom_k(group_col, k), schema=f"{group_col} string, h bigint"
     )
     agg = partials.groupBy(group_col).agg(
         F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias("bk")
@@ -88,7 +98,7 @@ def kmv_distinct(
         F.lit(float(k - 1)) / (kth / F.lit(HASH_SPACE))
     )
     return agg.select(
-        F.col(group_col),
+        F.col(group_col).cast(gtype).alias(group_col),
         F.round(est, 2).alias("distinct_est"),
         n_kept.cast("bigint").alias("sketch_size"),
     )

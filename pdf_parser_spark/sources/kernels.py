@@ -226,7 +226,9 @@ def rgb_to_hsv_u8(rgb: np.ndarray) -> np.ndarray:
         ),
     )
     h = np.where(h < 0, h + 360.0, h) / 2.0
-    return np.stack([_clip_u8(h), _clip_u8(s), v.astype(np.uint8)], axis=-1)
+    hq = np.rint(h)
+    hq = np.where(hq >= 180, hq - 180, hq)  # hue is circular: 360° ≡ 0°
+    return np.stack([hq.astype(np.uint8), _clip_u8(s), v.astype(np.uint8)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +555,35 @@ def normalize_yesno(txt: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def rasterize_pdf_page(data: bytes, page_index: int, dpi: int = 300) -> np.ndarray:
+    """K1, single page — render ONLY page ``page_index`` of the PDF.
+    The paged pipeline references multi-page files one span per page
+    (``#page=N`` fragments); rendering just the requested page keeps
+    per-task memory at one page instead of a whole 500-page document."""
+    try:
+        import pypdfium2 as pdfium
+    except ImportError as e:  # pragma: no cover - lib absent in sandbox
+        raise NotImplementedError(
+            "pypdfium2 is required for native PDF rasterization"
+        ) from e
+    doc = pdfium.PdfDocument(data)
+    bitmap = doc[page_index].render(scale=float(dpi) / 72.0)
+    return _bitmap_to_rgb(bitmap)
+
+
+def _bitmap_to_rgb(bitmap) -> np.ndarray:
+    arr = bitmap.to_numpy()
+    if arr.ndim == 2:  # FPDFBitmap_Gray
+        return np.ascontiguousarray(np.repeat(arr[..., None], 3, axis=-1))
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3]  # drop alpha FIRST (BGRA → BGR)
+    # pdfium channel orders 2=BGR, 3=BGRx, 4=BGRA are all blue-first
+    # after the alpha drop → reverse to RGB
+    if bitmap.format in (2, 3, 4):
+        arr = arr[..., ::-1]
+    return np.ascontiguousarray(arr)
+
+
 def rasterize_pdf_bytes(data: bytes, dpi: int = 300) -> list[np.ndarray]:
     """K1 — PDF bytes → list of HxWx3 uint8 page arrays at ``dpi``
     (reference: pypdfium2 at scale dpi/72, extractor.py:960-976)."""
@@ -564,21 +595,7 @@ def rasterize_pdf_bytes(data: bytes, dpi: int = 300) -> list[np.ndarray]:
         ) from e
     doc = pdfium.PdfDocument(data)
     scale = float(dpi) / 72.0
-    pages = []
-    for i in range(len(doc)):
-        bitmap = doc[i].render(scale=scale)
-        arr = bitmap.to_numpy()
-        if arr.ndim == 2:  # FPDFBitmap_Gray
-            arr = np.repeat(arr[..., None], 3, axis=-1)
-        else:
-            if arr.shape[-1] == 4:
-                arr = arr[..., :3]  # drop alpha FIRST (BGRA → BGR)
-            # pdfium channel orders 2=BGR, 3=BGRx, 4=BGRA are all
-            # blue-first after the alpha drop → reverse to RGB
-            if bitmap.format in (2, 3, 4):
-                arr = arr[..., ::-1]
-        pages.append(np.ascontiguousarray(arr))
-    return pages
+    return [_bitmap_to_rgb(doc[i].render(scale=scale)) for i in range(len(doc))]
 
 
 def tesseract_image_to_data(img: np.ndarray, psm: int = 6, lang: str | None = None,

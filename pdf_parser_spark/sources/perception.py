@@ -193,41 +193,50 @@ def parse_media_ref(media_ref: str) -> tuple[str, int]:
     """Split an optional page fragment: ``path#page=N`` → (path, N-1).
     Multi-page PDFs are referenced one span per page via the fragment
     (the explode in sources/documents.py keeps one row per page, and
-    the fragment tells the decoder WHICH page of the shared file)."""
+    the fragment tells the decoder WHICH page of the shared file).
+    Fragments are 1-based; ``#page=0`` or negative raises (a 0-based
+    producer bug must fail loudly, not silently read the wrong page)."""
     if "#page=" in media_ref:
         path, _, frag = media_ref.rpartition("#page=")
         try:
-            return path, int(frag) - 1
+            n = int(frag)
         except ValueError:
-            pass
+            return media_ref, 0
+        if n < 1:
+            raise ValueError(f"media_ref page fragments are 1-based, got {media_ref!r}")
+        return path, n - 1
     return media_ref, 0
 
 
-# last-N rasterize memo per worker: all page rows of one multi-page PDF
-# re-use one rasterization instead of re-rendering the file per page
-_raster_cache: dict[str, list[np.ndarray]] = {}
-_RASTER_CACHE_MAX = 2
+# small per-worker memo of raw media BYTES (not rasterized pages): all
+# page rows referencing one multi-page file fetch it once from the
+# loader (object-store downloads dominate for remote loaders), while
+# memory stays bounded at a few compressed files — never at decoded
+# pixel data, which for a 500-page 300-DPI doc would be gigabytes.
+# Rendering is per requested page (kernels.rasterize_pdf_page).
+_media_bytes_cache: dict[str, bytes] = {}
+_MEDIA_BYTES_CACHE_MAX = 4
 
 
-def _rasterize_cached(path: str, data: bytes, dpi: int) -> list[np.ndarray]:
-    pages = _raster_cache.get(path)
-    if pages is None:
-        pages = K.rasterize_pdf_bytes(data, dpi)
-        if len(_raster_cache) >= _RASTER_CACHE_MAX:
-            _raster_cache.pop(next(iter(_raster_cache)))
-        _raster_cache[path] = pages
-    return pages
+def _load_media_cached(path: str) -> bytes:
+    data = _media_bytes_cache.get(path)
+    if data is None:
+        data = _media_loader(path)
+        if len(_media_bytes_cache) >= _MEDIA_BYTES_CACHE_MAX:
+            _media_bytes_cache.pop(next(iter(_media_bytes_cache)))
+        _media_bytes_cache[path] = data
+    return data
 
 
 def load_page_rgb(media_ref: str, page_index: int | None = None, dpi: int = 300) -> np.ndarray:
     """media_ref → HxWx3 uint8 page image. Formats: ``.npy`` arrays
     (sandbox-native, no external libs), PDF bytes via pypdfium2 (gated,
-    page selected by the ``#page=N`` fragment, memoized per file),
+    page selected by the ``#page=N`` fragment; only that page renders),
     raster images via PIL (gated)."""
     path, frag_index = parse_media_ref(media_ref)
     if page_index is None:
         page_index = frag_index
-    data = _media_loader(path)
+    data = _load_media_cached(path)
     if path.endswith(".npy") or data[:6] == b"\x93NUMPY":
         import io
 
@@ -236,7 +245,7 @@ def load_page_rgb(media_ref: str, page_index: int | None = None, dpi: int = 300)
             arr = np.repeat(arr[..., None], 3, axis=-1)
         return arr.astype(np.uint8)
     if data[:5] == b"%PDF-":
-        return _rasterize_cached(path, data, dpi)[page_index]
+        return K.rasterize_pdf_page(data, page_index, dpi)
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - lib absent in sandbox

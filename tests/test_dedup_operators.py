@@ -175,3 +175,47 @@ def test_banded_keys_reject_short_vectors(spark):
 
     with pytest.raises(Exception, match="bands\\*bits"):
         df.select(banded_sign_keys(F.col("embedding"), 4, 8).alias("k")).collect()
+
+
+def test_length_band_buckets_complete_for_threshold(spark):
+    """The review's counterexample: sizes 64 vs 128 (ratio 2) sit 4
+    fixed-width-16 bands apart, and a contained doc at ratio ~8 sits
+    further — geometric banding with g+1 emissions must catch every
+    pair with J >= threshold."""
+    from pdf_parser_spark.operators.dedup import length_band_buckets
+
+    big = " ".join(f"w{i}" for i in range(130))  # 128 shingles
+    mid = " ".join(f"w{i}" for i in range(66))  # 64 shingles (contained)
+    small = " ".join(f"w{i}" for i in range(18))  # 16 shingles (contained)
+    df = spark.createDataFrame(
+        [("big", big), ("mid", mid), ("small", small)], ["doc_id", "text"]
+    )
+    sh = word_shingles(df, "text", 3)
+    buckets = length_band_buckets(F.size("shingles"), 0.12)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.12).collect()}
+    # containment Jaccards: 64/128 = 0.5 and 16/128 = 0.125, both >= t
+    assert ("big", "mid") in got and got[("big", "mid")] == 0.5
+    assert ("big", "small") in got and got[("big", "small")] == 0.125
+    assert ("mid", "small") in got  # 16/64 = 0.25
+
+
+def test_banded_skips_null_vectors(spark):
+    from pdf_parser_spark.operators.similarity import embedding_neardup_pairs
+
+    rows = [(1, [0.5] * 32), (2, [0.5] * 32), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = embedding_neardup_pairs(df, "vec_id", "embedding", 0.9, bands=4, bits=8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]  # null row ignored, no crash
+
+
+def test_kmv_numeric_group_keys_exact(spark):
+    """Nullable BIGINT group keys above 2^53 must survive the pandas
+    stage exactly (string transport; float64 would round them)."""
+    g1 = (1 << 60) + 1
+    g2 = (1 << 60) + 2  # adjacent -> identical under float64 rounding
+    rows = [(g1, "a"), (g1, "b"), (g2, "c"), (None, "d")]
+    df = spark.createDataFrame(rows, "grp bigint, val string")
+    out = {r["grp"]: r["distinct_est"] for r in kmv_distinct(df, "grp", "val", 8).collect()}
+    assert out == {g1: 2.0, g2: 1.0, None: 1.0}
+    assert kmv_distinct(df, "grp", "val", 8).schema["grp"].dataType.simpleString() == "bigint"

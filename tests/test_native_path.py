@@ -183,3 +183,34 @@ def test_load_templates_binding_and_validation(tmp_path):
         P._binding_specs.pop("empty_template", None)
     ticked, empty = P.load_templates()
     assert ticked.shape == (37, 37) and (ticked != empty).any()  # defaults again
+
+
+def test_media_ref_zero_based_fragment_raises():
+    import pytest as _pytest
+
+    from pdf_parser_spark.sources.perception import parse_media_ref
+
+    with _pytest.raises(ValueError, match="1-based"):
+        parse_media_ref("/data/scan.pdf#page=0")
+
+
+def test_media_bytes_cache_avoids_refetch(tmp_path):
+    from pdf_parser_spark.sources import perception as P
+
+    ref = _build_page(tmp_path)
+    calls = []
+    real = P.default_media_loader
+
+    def counting_loader(path):
+        calls.append(path)
+        return real(path)
+
+    P.set_media_loader(counting_loader)
+    try:
+        P._media_bytes_cache.clear()
+        P.load_page_rgb(ref)
+        P.load_page_rgb(ref)  # second page row of the same file
+        assert calls == [ref]  # fetched once
+    finally:
+        P.set_media_loader(real)
+        P._media_bytes_cache.clear()
