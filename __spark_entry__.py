@@ -550,13 +550,20 @@ def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", 3)
-    buckets = length_band_buckets(F.size("shingles"), 0.5)
-    pairs = jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5)
+    buckets = length_band_buckets(F.size("shingles"), _D2_THRESHOLD)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", buckets, _D2_THRESHOLD)
     return pairs.orderBy("id_a", "id_b")
 
 
+# one threshold, one band-count derivation (= ceil(log2(1/t)) + 1,
+# the same formula length_band_buckets owns) — the SQL oracle's band
+# list and WHERE literals follow the Python side automatically
+_D2_THRESHOLD = 0.5
+_D2_N_BANDS = __import__("math").ceil(__import__("math").log2(1 / _D2_THRESHOLD)) + 1
+
 _D2_BANDS_SQL = ", ".join(
-    f"CAST(floor(log2(greatest(len(shingles), 1))) AS BIGINT) + {i}" for i in range(2)
+    f"CAST(floor(log2(greatest(len(shingles), 1))) AS BIGINT) + {i}"
+    for i in range(_D2_N_BANDS)
 )
 
 _D2_SQL = (
@@ -575,7 +582,7 @@ SELECT id_a, id_b,
 FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
-            6) >= 0.5
+            6) >= {_D2_THRESHOLD}
 ORDER BY id_a, id_b
 """
 )

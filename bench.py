@@ -65,8 +65,8 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
             df.write.format("noop").mode("overwrite").save()
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
-            # release operator-held caches (d3's shingle projection) so
-            # repeated invocations don't accumulate pinned storage
+            # release operator-held caches (d2/d3 shingle projections)
+            # so repeated invocations don't accumulate pinned storage
             from pdf_parser_spark.operators.dedup import release_shingle_caches
 
             release_shingle_caches()

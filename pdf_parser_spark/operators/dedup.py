@@ -242,17 +242,19 @@ def minhash_lsh_pairs(
     )
 
 
-# Persisted (id, shingles) projections created by minhash_lsh_pairs:
-# the cache must outlive the returned (lazy) plan, and any transform
-# the caller applies returns a NEW DataFrame — so a handle attached to
-# the result would be lost. Long-lived sessions issuing many LSH
-# queries call release_shingle_caches() between them.
+# Persisted shingle projections created by jaccard_pairs and
+# minhash_lsh_pairs: the cache must outlive the returned (lazy) plan,
+# and any transform the caller applies returns a NEW DataFrame — so a
+# handle attached to the result would be lost. Long-lived sessions
+# issuing many dedup queries call release_shingle_caches() after
+# consuming each result (bench.py and tools/selfcheck_entry.py do).
 _SHINGLE_CACHES: list[DataFrame] = []
 
 
 def release_shingle_caches() -> int:
     """Unpersist every shingle projection cached by prior
-    :func:`minhash_lsh_pairs` calls; returns how many were released."""
+    :func:`jaccard_pairs` / :func:`minhash_lsh_pairs` calls; returns
+    how many were released."""
     n = 0
     while _SHINGLE_CACHES:
         _SHINGLE_CACHES.pop().unpersist()

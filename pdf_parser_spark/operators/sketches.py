@@ -79,11 +79,31 @@ def kmv_distinct(
     # group keys travel through the pandas stage AS STRINGS: a nullable
     # numeric group column would otherwise arrive as float64 (the same
     # 53-bit-mantissa corruption the h-filter above prevents for
-    # hashes, but on the GROUP KEY). Spark's numeric→string→numeric
-    # casts round-trip exactly, so the final select restores the type.
-    gtype = df.schema[group_col].dataType.simpleString()
+    # hashes, but on the GROUP KEY). The encoding is chosen per dtype
+    # so the round trip is lossless AND grouping-faithful: binary keys
+    # go through base64 (a plain string cast replaces invalid UTF-8
+    # with U+FFFD, merging distinct keys); float/double normalize -0.0
+    # to 0.0 first (Spark's groupBy merges them, their strings differ);
+    # everything else round-trips through a plain string cast exactly.
+    from pyspark.sql.types import BinaryType, DoubleType, FloatType
+
+    dt = df.schema[group_col].dataType
+    gtype = dt.simpleString()
+    gcol = F.col(group_col)
+    if isinstance(dt, BinaryType):
+        enc = F.base64(gcol)
+        def dec(c):
+            return F.unbase64(c)
+    elif isinstance(dt, (FloatType, DoubleType)):
+        enc = F.when(gcol == 0, F.lit(0).cast(gtype)).otherwise(gcol).cast("string")
+        def dec(c):
+            return c.cast(gtype)
+    else:
+        enc = gcol.cast("string")
+        def dec(c):
+            return c.cast(gtype)
     hashed = df.select(
-        F.col(group_col).cast("string").alias(group_col),
+        enc.alias(group_col),
         md5_long(F.col(value_col)).alias("h"),
     ).filter(F.col("h").isNotNull())
     partials = hashed.mapInPandas(
@@ -98,7 +118,7 @@ def kmv_distinct(
         F.lit(float(k - 1)) / (kth / F.lit(HASH_SPACE))
     )
     return agg.select(
-        F.col(group_col).cast(gtype).alias(group_col),
+        dec(F.col(group_col)).alias(group_col),
         F.round(est, 2).alias("distinct_est"),
         n_kept.cast("bigint").alias("sketch_size"),
     )

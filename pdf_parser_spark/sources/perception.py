@@ -108,6 +108,7 @@ _native_yesno_ocr: Callable[[np.ndarray], str] = K.tesseract_yesno
 def set_media_loader(fn: Callable[[str], bytes]) -> None:
     global _media_loader
     _media_loader = fn
+    _media_bytes_cache.clear()  # a new loader must not serve the old one's bytes
 
 
 def set_native_ocr(tokens_fn: Callable[[np.ndarray], list[dict]] | None = None,

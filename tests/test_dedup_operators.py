@@ -219,3 +219,24 @@ def test_kmv_numeric_group_keys_exact(spark):
     out = {r["grp"]: r["distinct_est"] for r in kmv_distinct(df, "grp", "val", 8).collect()}
     assert out == {g1: 2.0, g2: 1.0, None: 1.0}
     assert kmv_distinct(df, "grp", "val", 8).schema["grp"].dataType.simpleString() == "bigint"
+
+
+def test_kmv_binary_and_signed_zero_group_keys(spark):
+    """Transport must be grouping-faithful for awkward key types:
+    binary keys with invalid-UTF8 bytes stay distinct (base64, not a
+    lossy string cast), and -0.0/0.0 double keys merge (Spark groupBy
+    semantics) instead of splitting into '-0.0'/'0.0' strings."""
+    bdf = spark.createDataFrame(
+        [(bytearray(b"\x80"), "a"), (bytearray(b"\x81"), "b"), (bytearray(b"\x80"), "c")],
+        "grp binary, val string",
+    )
+    out = {bytes(r["grp"]): r["distinct_est"]
+           for r in kmv_distinct(bdf, "grp", "val", 8).collect()}
+    assert out == {b"\x80": 2.0, b"\x81": 1.0}
+
+    zdf = spark.createDataFrame(
+        [(0.0, "a"), (-0.0, "b"), (1.5, "c")], "grp double, val string"
+    )
+    rows = kmv_distinct(zdf, "grp", "val", 8).collect()
+    assert {r["grp"]: r["distinct_est"] for r in rows} == {0.0: 2.0, 1.5: 1.0}
+    assert len(rows) == 2  # -0.0 merged into 0.0, not a separate row

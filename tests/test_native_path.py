@@ -214,3 +214,18 @@ def test_media_bytes_cache_avoids_refetch(tmp_path):
     finally:
         P.set_media_loader(real)
         P._media_bytes_cache.clear()
+
+
+def test_set_media_loader_invalidates_bytes_cache(tmp_path):
+    from pdf_parser_spark.sources import perception as P
+
+    ref = _build_page(tmp_path)
+    real = P.default_media_loader
+    try:
+        P.set_media_loader(real)
+        P.load_page_rgb(ref)
+        assert ref in P._media_bytes_cache
+        P.set_media_loader(lambda p: real(p))  # rebinding clears the memo
+        assert P._media_bytes_cache == {}
+    finally:
+        P.set_media_loader(real)

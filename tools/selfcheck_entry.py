@@ -41,6 +41,11 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # release operator-held caches (d2/d3 shingle projections)
+            # so the 27-query session doesn't accumulate pinned storage
+            from pdf_parser_spark.operators.dedup import release_shingle_caches
+
+            release_shingle_caches()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
