@@ -760,6 +760,74 @@ ORDER BY id_a, id_b
 """
 
 
+_S3_BANDS, _S3_BITS, _S3_DIM, _S3_SEED = 3, 8, 64, 7
+
+
+def q_s3_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN over seeded random ±1 hyperplanes (3 bands × 8
+    planes, seed 7) — the band-key family for anisotropic embeddings
+    where raw-dimension signs are correlated. The oracle re-derives the
+    identical planes from the same seed and writes each projection as
+    an explicit left-associative sum, matching Spark's fold order
+    bit-for-bit, so the signs (and thus the candidate sets) agree
+    exactly."""
+    from pdf_parser_spark.operators.similarity import random_hyperplane_keys_udf
+
+    _ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    keys = random_hyperplane_keys_udf(_S3_DIM, _S3_BANDS, _S3_BITS, _S3_SEED)
+    return banded_ann_topk(
+        corpus, queries, "vec_id", "embedding", "query_id", "qv", 3,
+        bands=_S3_BANDS, bits=_S3_BITS, keys_fn=keys,
+    ).orderBy("query_id", "rk")
+
+
+def _s3_sql() -> str:
+    from pdf_parser_spark.operators.similarity import hyperplane_weights
+
+    planes = hyperplane_weights(_S3_DIM, _S3_BANDS, _S3_BITS, _S3_SEED)
+    band_keys = []
+    for j in range(_S3_BANDS):
+        bits = []
+        for b in range(_S3_BITS):
+            w = planes[j][b]
+            # explicit left-associative chain = Spark's aggregate fold order
+            dot = " + ".join(
+                f"CAST(embedding[{d + 1}] AS DOUBLE) * {w[d]}" for d in range(_S3_DIM)
+            )
+            bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << b} ELSE 0 END)")
+        band_keys.append(" + ".join(bits))
+    ids = "[" + ", ".join(str(j) for j in range(_S3_BANDS)) + "]"
+    keys = "[" + ", ".join(band_keys) + "]"
+    return f"""
+WITH qb AS (SELECT vec_id AS query_id,
+                   unnest({ids}) AS band_id, unnest({keys}) AS band_key
+            FROM embeddings WHERE vec_id < 5),
+cb AS (SELECT vec_id,
+              unnest({ids}) AS band_id, unnest({keys}) AS band_key
+       FROM embeddings),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id
+         FROM cb c JOIN qb q ON c.band_id = q.band_id AND c.band_key = q.band_key
+         WHERE c.vec_id <> q.query_id),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_dot_product(qv.v, cv.v) /
+               (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
+               6) AS cos_sim
+  FROM cand JOIN v cv ON cv.vec_id = cand.vec_id
+            JOIN v qv ON qv.vec_id = cand.query_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
 def q_k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct sketch per source (deterministic — unlike
     HLL, exactly replicable in the DuckDB oracle)."""
@@ -909,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
+        "s3_hyperplane_ann": q_s3_hyperplane_ann,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "k1_kmv_distinct": q_k1_kmv_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
@@ -941,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash": _simhash_sql(16),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
+        "s3_hyperplane_ann": _s3_sql(),
         "d5_embedding_neardup": _D5_SQL,
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,

@@ -22,6 +22,8 @@ high-cardinality, so no skew hot spot.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,23 +96,35 @@ def banded_sign_keys(vec: Column, bands: int, bits: int) -> Column:
     )
 
 
+def hyperplane_weights(dim: int, bands: int, bits: int, seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic ±1 plane weights, [band][bit][dim] — the single
+    source both the Spark keys and any external oracle re-derive from
+    the seed (same RNG, same draw order)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [[rnd.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(bands)
+    ]
+
+
 def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
                            seed: int = 7) -> Column:
     """Per-band keys from SEEDED RANDOM ±1 hyperplanes — the variant for
     anisotropic embeddings where raw-dimension signs are correlated
-    (axis-aligned bands then under-spread). Plane weights are
-    deterministic ±1 literals (reproducible anywhere from the seed, so
-    an external oracle can re-derive them); key bit b of band j is the
-    sign of <vec, w(j,b)>. Same plan shape as banded_sign_keys: use
-    with the same band join."""
-    import random
-
-    rnd = random.Random(seed)
+    (axis-aligned bands then under-spread). Key bit b of band j is the
+    sign of <vec, w(j,b)>; the projection folds left-to-right (Spark's
+    ``aggregate``), so an oracle writing the dot product as an explicit
+    left-associative chain over the same weights gets a bit-identical
+    double and therefore the identical sign. Same plan shape as
+    banded_sign_keys: use with the same band join."""
+    planes = hyperplane_weights(dim, bands, bits, seed)
     keys = []
     for j in range(bands):
         key = F.lit(0).cast("bigint")
         for b in range(bits):
-            w = [rnd.choice((-1.0, 1.0)) for _ in range(dim)]
+            w = planes[j][b]
             proj = F.aggregate(
                 F.zip_with(
                     vec,
@@ -125,6 +139,40 @@ def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
             )
         keys.append(key)
     return F.array(*keys)
+
+
+def random_hyperplane_keys_udf(dim: int, bands: int, bits: int, seed: int = 7):
+    """Arrow-vectorized form of :func:`random_hyperplane_keys` for real
+    plane counts: the pure-expression version builds bands·bits
+    aggregate trees of ``dim`` literals each, which explodes codegen
+    (measured >100s for 24 planes × 64 dims on 500 rows); this pandas
+    UDF computes all projections in one numpy pass per Arrow batch.
+
+    Sign-exactness: the accumulation loops dimensions left-to-right in
+    float64 — the SAME addition sequence as the expression fold and as
+    a left-associative SQL chain — so an external oracle derives
+    bit-identical projections and identical keys. Returns a keys_fn
+    for :func:`banded_ann_topk` / :func:`_banded`."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = hyperplane_weights(dim, bands, bits, seed)
+    W = np.array(planes, dtype=np.float64).reshape(bands * bits, dim).T  # (dim, planes)
+    bit_weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def keys(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)  # (n, dim); raises on ragged input
+        acc = np.zeros((M.shape[0], W.shape[1]))
+        for d in range(dim):  # left-to-right over dims = the fold order
+            acc += M[:, d : d + 1] * W[d]
+        key_rows = ((acc > 0).astype(np.int64).reshape(-1, bands, bits) * bit_weights).sum(axis=2)
+        return pd.Series(list(key_rows))
+
+    def keys_fn(vec: Column, _bands: int, _bits: int) -> Column:
+        return keys(vec)
+
+    return keys_fn
 
 
 def _banded(df: DataFrame, id_col: str, vec_col: str, bands: int, bits: int,
@@ -150,13 +198,16 @@ def banded_ann_topk(
     k: int,
     bands: int = 4,
     bits: int = 8,
+    keys_fn=banded_sign_keys,
 ) -> DataFrame:
     """Approximate top-k, multi-probe: candidates = rows sharing ANY
     band key with the query (union over bands, deduplicated — the
     banding carries only (id, band_id, band_key), never vectors), then
-    exact cosine re-rank of the candidate set."""
-    cb = _banded(corpus, id_col, vec_col, bands, bits, id_col)
-    qb = _banded(queries, query_id_col, query_vec_col, bands, bits, query_id_col)
+    exact cosine re-rank of the candidate set. ``keys_fn`` selects the
+    band-key family (axis-aligned sign bits by default; pass a
+    random-hyperplane closure for anisotropic embeddings)."""
+    cb = _banded(corpus, id_col, vec_col, bands, bits, id_col, keys_fn)
+    qb = _banded(queries, query_id_col, query_vec_col, bands, bits, query_id_col, keys_fn)
     cand = (
         cb.join(F.broadcast(qb), ["band_id", "band_key"])
         .filter(F.col(id_col) != F.col(query_id_col))
