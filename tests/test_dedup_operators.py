@@ -240,3 +240,35 @@ def test_kmv_binary_and_signed_zero_group_keys(spark):
     rows = kmv_distinct(zdf, "grp", "val", 8).collect()
     assert {r["grp"]: r["distinct_est"] for r in rows} == {0.0: 2.0, 1.5: 1.0}
     assert len(rows) == 2  # -0.0 merged into 0.0, not a separate row
+
+
+def test_hyperplane_udf_matches_expression_form(spark):
+    """The Arrow-vectorized key UDF and the pure-expression builder are
+    two implementations of the same fold — identical seeds must give
+    identical keys for every vector (sign-exactness relies on the
+    shared left-to-right addition order)."""
+    import random
+
+    from pdf_parser_spark.operators.similarity import (
+        random_hyperplane_keys,
+        random_hyperplane_keys_udf,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    expr = {
+        r["vec_id"]: r["k"]
+        for r in df.select(
+            "vec_id",
+            random_hyperplane_keys(F.col("embedding"), 16, 2, 5, seed=9).alias("k"),
+        ).collect()
+    }
+    udf_keys = random_hyperplane_keys_udf(16, 2, 5, seed=9)
+    got = {
+        r["vec_id"]: r["k"]
+        for r in df.select(
+            "vec_id", udf_keys(F.col("embedding"), 2, 5).alias("k")
+        ).collect()
+    }
+    assert got == expr
