@@ -703,15 +703,22 @@ def _band_keys_sql(col: str, bands: int = _ANN_BANDS, bits: int = _ANN_BITS) -> 
 
 _BAND_IDS_SQL, _BAND_KEYS_SQL = _band_keys_sql("embedding")
 
-_S2_SQL = f"""
+
+def _ann_topk_sql(ids: str, keys: str, k: int = 3) -> str:
+    """Shared banded-ANN oracle skeleton (s2 axis-aligned and s3
+    hyperplane differ only in the band-key literals). NULL embeddings
+    are filtered in the keyed CTEs, mirroring the engine's _banded
+    (a NULL vector would otherwise key every band to 0 and join as a
+    phantom candidate)."""
+    return f"""
 WITH qb AS (SELECT vec_id AS query_id,
-                   unnest({_BAND_IDS_SQL}) AS band_id,
-                   unnest({_BAND_KEYS_SQL}) AS band_key
-            FROM embeddings WHERE vec_id < 5),
+                   unnest({ids}) AS band_id,
+                   unnest({keys}) AS band_key
+            FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
 cb AS (SELECT vec_id,
-              unnest({_BAND_IDS_SQL}) AS band_id,
-              unnest({_BAND_KEYS_SQL}) AS band_key
-       FROM embeddings),
+              unnest({ids}) AS band_id,
+              unnest({keys}) AS band_key
+       FROM embeddings WHERE embedding IS NOT NULL),
 cand AS (SELECT DISTINCT q.query_id, c.vec_id
          FROM cb c JOIN qb q ON c.band_id = q.band_id AND c.band_key = q.band_key
          WHERE c.vec_id <> q.query_id),
@@ -726,8 +733,11 @@ scored AS (
 r AS (SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
       FROM scored)
-SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
+SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= {k} ORDER BY query_id, rk
 """
+
+
+_S2_SQL = _ann_topk_sql(_BAND_IDS_SQL, _BAND_KEYS_SQL)
 
 
 def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,7 +753,7 @@ _D5_SQL = f"""
 WITH cb AS (SELECT vec_id,
                    unnest({_BAND_IDS_SQL}) AS band_id,
                    unnest({_BAND_KEYS_SQL}) AS band_key
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM cb a JOIN cb b ON a.band_id = b.band_id AND a.band_key = b.band_key
          WHERE a.vec_id < b.vec_id),
@@ -803,29 +813,7 @@ def _s3_sql() -> str:
         band_keys.append(" + ".join(bits))
     ids = "[" + ", ".join(str(j) for j in range(_S3_BANDS)) + "]"
     keys = "[" + ", ".join(band_keys) + "]"
-    return f"""
-WITH qb AS (SELECT vec_id AS query_id,
-                   unnest({ids}) AS band_id, unnest({keys}) AS band_key
-            FROM embeddings WHERE vec_id < 5),
-cb AS (SELECT vec_id,
-              unnest({ids}) AS band_id, unnest({keys}) AS band_key
-       FROM embeddings),
-cand AS (SELECT DISTINCT q.query_id, c.vec_id
-         FROM cb c JOIN qb q ON c.band_id = q.band_id AND c.band_key = q.band_key
-         WHERE c.vec_id <> q.query_id),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
-  SELECT cand.query_id, cand.vec_id,
-         round(list_dot_product(qv.v, cv.v) /
-               (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
-               6) AS cos_sim
-  FROM cand JOIN v cv ON cv.vec_id = cand.vec_id
-            JOIN v qv ON qv.vec_id = cand.query_id),
-r AS (SELECT query_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
-      FROM scored)
-SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
-"""
+    return _ann_topk_sql(ids, keys)
 
 
 def q_k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -118,7 +118,10 @@ def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
     ``aggregate``), so an oracle writing the dot product as an explicit
     left-associative chain over the same weights gets a bit-identical
     double and therefore the identical sign. Same plan shape as
-    banded_sign_keys: use with the same band join."""
+    banded_sign_keys: use with the same band join. A vector shorter
+    than ``dim`` raises (zip_with would NULL-pad the projection,
+    silently keying every band to 0 — the bucket-collapse hazard
+    banded_sign_keys guards against)."""
     planes = hyperplane_weights(dim, bands, bits, seed)
     keys = []
     for j in range(bands):
@@ -138,7 +141,14 @@ def random_hyperplane_keys(vec: Column, dim: int, bands: int, bits: int,
                 F.lit(0).cast("bigint")
             )
         keys.append(key)
-    return F.array(*keys)
+    return F.when(F.size(vec) >= dim, F.array(*keys)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_hyperplane_keys needs dim >= {dim}, got "),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
 
 
 def random_hyperplane_keys_udf(dim: int, bands: int, bits: int, seed: int = 7):
@@ -162,14 +172,27 @@ def random_hyperplane_keys_udf(dim: int, bands: int, bits: int, seed: int = 7):
 
     @pandas_udf("array<bigint>")
     def keys(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)  # (n, dim); raises on ragged input
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError(
+                f"random_hyperplane_keys_udf(dim={dim}) got vectors of shape {M.shape}"
+            )
         acc = np.zeros((M.shape[0], W.shape[1]))
         for d in range(dim):  # left-to-right over dims = the fold order
             acc += M[:, d : d + 1] * W[d]
-        key_rows = ((acc > 0).astype(np.int64).reshape(-1, bands, bits) * bit_weights).sum(axis=2)
+        # sign rule matches Spark SQL and DuckDB, where NaN compares
+        # GREATER than 0 (numpy's NaN > 0 is False) — without this a
+        # NaN-bearing vector keys differently across the three forms
+        pos = (acc > 0) | np.isnan(acc)
+        key_rows = (pos.astype(np.int64).reshape(-1, bands, bits) * bit_weights).sum(axis=2)
         return pd.Series(list(key_rows))
 
-    def keys_fn(vec: Column, _bands: int, _bits: int) -> Column:
+    def keys_fn(vec: Column, call_bands: int, call_bits: int) -> Column:
+        if (call_bands, call_bits) != (bands, bits):
+            raise ValueError(
+                f"keys_fn built for bands={bands}, bits={bits} but called with "
+                f"bands={call_bands}, bits={call_bits}"
+            )
         return keys(vec)
 
     return keys_fn

@@ -29,8 +29,13 @@ from pdf_parser_spark.testing.span_diff import span_diff  # noqa: E402
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 2000
-    skew = "--skew" in sys.argv
+    args = sys.argv[1:]
+    skew = "--skew" in args
+    positional = [a for a in args if a != "--skew"]
+    if len(positional) > 1 or (positional and not positional[0].isdigit()):
+        print(f"usage: {sys.argv[0]} [n_docs] [--skew]", file=sys.stderr)
+        return 2
+    n = int(positional[0]) if positional else 2000
     schemas = form_schemas()
     t0 = time.time()
     pages_total = 0
