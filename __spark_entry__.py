@@ -594,9 +594,10 @@ def q_d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.12).orderBy("id_a", "id_b")
 
 
-_D3_SQL = (
-    _SHINGLE_CTE
-    + """
+# d3's candidate CTEs and pair-select body are shared with d6 (cluster
+# formation), which wraps the same pairs in a recursive connected-
+# components CTE — one source, no drift.
+_D3_CAND_CTES = """
 , flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 base AS (SELECT doc_id,
                 CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 1000000007 AS x
@@ -609,16 +610,52 @@ bands AS (SELECT doc_id, i // 3 AS band_id,
           FROM mh GROUP BY doc_id, i // 3),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
-           ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+
+_D3_PAIRS_BODY = """SELECT id_a, id_b,
        round(len(list_intersect(sa.shingles, sb.shingles)) /
              (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
              6) AS jaccard
 FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))),
-            6) >= 0.12
-ORDER BY id_a, id_b
+            6) >= 0.12"""
+
+_D3_SQL = _SHINGLE_CTE + _D3_CAND_CTES + "\n" + _D3_PAIRS_BODY + "\nORDER BY id_a, id_b\n"
+
+
+def q_d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation over the d3 MinHash-LSH pairs:
+    connected components via iterative min-label propagation
+    (operators.dedup.connected_components), component = min doc_id —
+    the canonical-document selection step of a dedup pipeline. The
+    oracle computes the identical components with a recursive CTE
+    (label reachability + min), so the iterative Spark algorithm is
+    value-checked end-to-end, not rows-only."""
+    from pdf_parser_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", 3)
+    pairs = minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.12)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+_D6_SQL = (
+    _SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _D3_CAND_CTES
+    + f"""
+, pairs AS ({_D3_PAIRS_BODY}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY doc_id
 """
 )
 
@@ -962,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
+        "d6_dedup_clusters": q_d6_dedup_clusters,
         "d4_simhash": q_d4_simhash,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
@@ -995,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": _D1_SQL,
         "d2_ngram_jaccard": _D2_SQL,
         "d3_minhash_lsh": _D3_SQL,
+        "d6_dedup_clusters": _D6_SQL,
         "d4_simhash": _simhash_sql(16),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,

@@ -262,6 +262,71 @@ def release_shingle_caches() -> int:
     return n
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Near-duplicate CLUSTER formation: (id, component) for every node
+    of the pair graph, component = the minimum node id reachable from
+    it. This is the step a dedup pipeline runs after pair generation
+    (exact / LSH / embedding pairs) to pick one canonical document per
+    duplicate cluster.
+
+    Algorithm: iterative min-label propagation — label(n) ←
+    min(label(n), min over neighbors' labels) to fixpoint. Converges in
+    O(component diameter) rounds; duplicate clusters are shallow
+    (near-cliques), so 2-4 rounds in practice, bounded by ``max_iter``
+    (raises if not converged — silent truncation would mislabel).
+    Each round is one join + one aggregate; labels are
+    ``localCheckpoint``-ed per round to truncate the iterative lineage
+    (the standard Spark pattern for driver-coordinated iteration; at
+    very large graphs swap in the two-phase large-star/small-star
+    variant, which shrinks long paths in O(log n) rounds)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, component, cluster_size) for every document appearing
+    in a near-dup pair; keep rows where ``doc_id != component`` to drop
+    non-canonical duplicates."""
+    comps = connected_components(pairs, id_a, id_b)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comps.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.col("cluster_size"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per word token w, h(w) = md5_long(w); bit j
     of the fingerprint is 1 iff sum over tokens of ±1 (by bit j of

@@ -272,3 +272,34 @@ def test_hyperplane_udf_matches_expression_form(spark):
         ).collect()
     }
     assert got == expr
+
+
+def test_connected_components_multi_hop_chain(spark):
+    from pdf_parser_spark.operators.dedup import connected_components, dedup_clusters
+
+    # two components: a 4-node chain (diameter 3) and a disjoint pair
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    clusters = {r["doc_id"]: (r["component"], r["cluster_size"])
+                for r in dedup_clusters(pairs).collect()}
+    assert clusters["d"] == ("a", 4) and clusters["y"] == ("x", 2)
+    # canonical-selection rule: drop rows where doc_id != component
+    canonical = {d for d, (c, _) in clusters.items() if d == c}
+    assert canonical == {"a", "x"}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from pdf_parser_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)
+    # and converges fine with the default budget
+    comps = {r["id"]: r["comp"] for r in connected_components(chain).collect()}
+    assert set(comps.values()) == {"n0"}
