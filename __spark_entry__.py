@@ -46,7 +46,12 @@ from pdf_parser_spark.operators.similarity import (
     embedding_neardup_pairs,
 )
 from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
-from pdf_parser_spark.operators.textstats import rolling_fingerprint, text_profile
+from pdf_parser_spark.operators.textstats import (
+    hash_split,
+    hash_split_oracle_sql,
+    rolling_fingerprint,
+    text_profile,
+)
 
 
 _SHIPPED: set[int] = set()
@@ -660,6 +665,22 @@ ORDER BY doc_id
 )
 
 
+_T3_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_t3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: assignment is a pure
+    function of (salt, doc_id) — stable across runs, engines, cluster
+    sizes and orderings (randomSplit is none of these), and growing
+    the corpus never reassigns existing docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", _T3_FRACTIONS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=16).orderBy("doc_id")
@@ -996,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_flex_match": q_f4_flex_match,
         "t1_text_profile": q_t1_text_profile,
         "t2_rolling_fingerprint": q_t2_rolling_fingerprint,
+        "t3_hash_split": q_t3_hash_split,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -1030,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "f4_flex_match": _F4_SQL,
         "t1_text_profile": _T1_SQL,
         "t2_rolling_fingerprint": _T2_SQL,
+        "t3_hash_split": hash_split_oracle_sql("documents", "doc_id", _T3_FRACTIONS),
         "d1_exact_dedup": _D1_SQL,
         "d2_ngram_jaccard": _D2_SQL,
         "d3_minhash_lsh": _D3_SQL,

@@ -103,3 +103,56 @@ def rolling_fingerprint(text_col: str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: F.pmod(acc * F.lit(ROLL_BASE) + h, F.lit(ROLL_PRIME)),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive of a training-data pipeline. A document's split is a pure
+    function of (salt, id): ``bucket = md5_long(salt:id) mod 10^6``
+    compared against the cumulative fraction boundaries, so the
+    assignment is stable across runs, engines, cluster sizes, and
+    orderings (unlike ``randomSplit``, which depends on partitioning),
+    and documents added later never move existing ones between splits.
+    Fractions must sum to 1 (±1e-9); boundaries are exact integers of
+    the 10^6 bucket space so an external oracle reproduces them.
+    """
+    from pdf_parser_spark.operators.dedup import md5_long
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    space = 1_000_000
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string"), salt), F.lit(space))
+    expr = None
+    acc = 0
+    for name, frac in fractions.items():
+        acc += round(frac * space)
+        cond = bucket < F.lit(min(acc, space))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_oracle_sql(table: str, id_col: str, fractions: dict[str, float],
+                          salt: str = "split") -> str:
+    """The identical assignment in ANSI SQL for the DuckDB oracle."""
+    space = 1_000_000
+    cases = []
+    acc = 0
+    for name, frac in fractions.items():
+        acc += round(frac * space)
+        cases.append(f"WHEN bucket < {min(acc, space)} THEN '{name}'")
+    return f"""
+WITH b AS (
+  SELECT {id_col},
+         CAST(concat('0x', substr(md5(concat('{salt}:', CAST({id_col} AS VARCHAR))), 1, 15))
+              AS BIGINT) % {space} AS bucket
+  FROM {table})
+SELECT {id_col}, CASE {' '.join(cases)} END AS split
+FROM b ORDER BY {id_col}
+"""
