@@ -663,6 +663,11 @@ FROM comp c JOIN sizes s USING (component)
 ORDER BY doc_id
 """
 )
+# the RECURSIVE keyword is spliced into the shared CTE header by string
+# replacement; fail at import time if a reword of _SHINGLE_CTE ever
+# silently breaks that (the alternative failure is an opaque DuckDB
+# binder error on the self-referencing `reach` CTE, far from the cause)
+assert _D6_SQL.lstrip().startswith("WITH RECURSIVE"), "_D6_SQL lost RECURSIVE"
 
 
 _T3_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}

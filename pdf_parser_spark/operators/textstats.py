@@ -127,14 +127,22 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"every fraction must be > 0, got {fractions}")
     space = 1_000_000
     bucket = F.pmod(md5_long(F.col(id_col).cast("string"), salt), F.lit(space))
+    # the LAST split absorbs the remainder of the bucket space: summing
+    # rounded per-fraction boundaries can undershoot space (e.g. thirds
+    # → 999,999), which would leave top-bucket docs with a NULL split —
+    # silently in NO split at all
+    names = list(fractions)
     expr = None
     acc = 0
-    for name, frac in fractions.items():
-        acc += round(frac * space)
+    for name in names[:-1]:
+        acc += round(fractions[name] * space)
         cond = bucket < F.lit(min(acc, space))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out_col, expr)
 
 
@@ -142,11 +150,15 @@ def hash_split_oracle_sql(table: str, id_col: str, fractions: dict[str, float],
                           salt: str = "split") -> str:
     """The identical assignment in ANSI SQL for the DuckDB oracle."""
     space = 1_000_000
+    names = list(fractions)
+    if len(names) == 1:
+        return f"SELECT {id_col}, '{names[0]}' AS split FROM {table} ORDER BY {id_col}"
     cases = []
     acc = 0
-    for name, frac in fractions.items():
-        acc += round(frac * space)
+    for name in names[:-1]:
+        acc += round(fractions[name] * space)
         cases.append(f"WHEN bucket < {min(acc, space)} THEN '{name}'")
+    cases.append(f"ELSE '{names[-1]}'")
     return f"""
 WITH b AS (
   SELECT {id_col},

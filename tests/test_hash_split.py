@@ -41,3 +41,34 @@ def test_split_fraction_validation(spark):
     # every row assigned (no NULL split even at the boundary bucket)
     out = hash_split(df, "doc_id", FR)
     assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_split_thirds_covers_every_bucket(spark):
+    """Rounded boundaries for thirds undershoot the bucket space
+    (3 x 333,333 = 999,999 of 1,000,000) — the last split must absorb
+    the remainder so no document lands in NO split (review finding)."""
+    df = spark.createDataFrame(_ids(3000), ["doc_id"])
+    thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    out = hash_split(df, "doc_id", thirds)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got == {"a", "b", "c"}
+    # oracle shares the no-gap property
+    import duckdb
+
+    from pdf_parser_spark.operators.textstats import hash_split_oracle_sql
+
+    con = duckdb.connect(":memory:")
+    con.execute("CREATE TABLE documents AS SELECT 'doc_' || i AS doc_id FROM range(3000) t(i)")
+    nulls = con.execute(
+        f"SELECT count(*) FROM ({hash_split_oracle_sql('documents', 'doc_id', thirds)}) WHERE split IS NULL"
+    ).fetchone()[0]
+    assert nulls == 0
+
+
+def test_split_rejects_nonpositive_fractions(spark):
+    df = spark.createDataFrame(_ids(5), ["doc_id"])
+    with pytest.raises(ValueError, match="> 0"):
+        hash_split(df, "doc_id", {"train": 1.5, "val": -0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        hash_split(df, "doc_id", {"train": 1.0, "val": 0.0})
