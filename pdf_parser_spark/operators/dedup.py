@@ -20,6 +20,9 @@ Scale posture:
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,8 +110,11 @@ def jaccard_pairs(
     is persisted across the three plan branches (keying + both verify
     sides) — release via :func:`release_shingle_caches`.
     """
-    df = df.filter(F.size(F.col(shingle_col)) > 0).persist()
-    _SHINGLE_CACHES.append(df)
+    df = _persist_shingles(
+        df.select(F.col(id_col), F.col(shingle_col)).filter(
+            F.size(F.col(shingle_col)) > 0
+        )
+    )
     exprs = list(bucket_expr) if isinstance(bucket_expr, (list, tuple)) else [bucket_expr]
     keyed = df.select(
         F.col(id_col),
@@ -194,12 +200,11 @@ def minhash_lsh_pairs(
     width) have no signature and are excluded up front; empty-signature
     rows would otherwise all band-join each other."""
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(F.col(id_col), F.col(shingle_col))
-        .filter(F.size(F.col(shingle_col)) > 0)
-        .persist()
+    base = _persist_shingles(
+        df.select(F.col(id_col), F.col(shingle_col)).filter(
+            F.size(F.col(shingle_col)) > 0
+        )
     )
-    _SHINGLE_CACHES.append(base)  # release via release_shingle_caches()
     sigs = minhash_signature(base, shingle_col, num_hashes)
     # band join carries ONLY (id, band_id, band_sig) — the shingle
     # arrays stay out of the shuffle and are re-joined just for the
@@ -245,19 +250,70 @@ def minhash_lsh_pairs(
 # Persisted shingle projections created by jaccard_pairs and
 # minhash_lsh_pairs: the cache must outlive the returned (lazy) plan,
 # and any transform the caller applies returns a NEW DataFrame — so a
-# handle attached to the result would be lost. Long-lived sessions
-# issuing many dedup queries call release_shingle_caches() after
-# consuming each result (bench.py and tools/selfcheck_entry.py do).
+# handle attached to the result would be lost. Ownership model
+# (round-2 ADVICE — no grow-only global, thread-safe):
+#
+# - ``with shingle_cache_scope():`` — caches created inside the block
+#   are owned by the scope and unpersisted on exit (the recommended
+#   pattern for build-then-consume callers).
+# - Outside a scope, caches land in a lock-guarded session-level list;
+#   long-lived sessions call release_shingle_caches() after consuming
+#   each result (bench.py and tools/selfcheck_entry.py do).
+_SHINGLE_LOCK = threading.Lock()
 _SHINGLE_CACHES: list[DataFrame] = []
+_SCOPES = threading.local()  # per-thread stack of active scope lists
+
+
+def _persist_shingles(df: DataFrame) -> DataFrame:
+    """Persist the (id, shingles) projection and EAGERLY materialize it
+    before the caller's plan fans out. The persist alone is not enough:
+    the consuming query's plan branches (signature, verify-left,
+    verify-right) launch parallel stages inside one action, and lazy
+    cache population RACES them — each branch recomputes the full
+    shingle lineage anyway (round-2 VERDICT, verified: lazy 15.7–29.0 s
+    vs eager 7.9–9.2 s on the sf0.1 d3 gate). ``count()`` keeps the
+    lineage (fault-tolerant recompute on executor loss, unlike
+    localCheckpoint) while guaranteeing every block exists before the
+    branches read."""
+    df = df.persist()
+    scopes = getattr(_SCOPES, "stack", None)
+    if scopes:
+        scopes[-1].append(df)
+    else:
+        with _SHINGLE_LOCK:
+            _SHINGLE_CACHES.append(df)
+    df.count()  # eager materialization — see docstring
+    return df
+
+
+@contextlib.contextmanager
+def shingle_cache_scope():
+    """Context manager owning every shingle cache persisted inside it
+    (this thread); unpersists them on exit. Consume the returned
+    DataFrames *inside* the block — after exit their cached blocks are
+    released and the plan recomputes from source."""
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    owned: list[DataFrame] = []
+    stack.append(owned)
+    try:
+        yield owned
+    finally:
+        stack.pop()
+        for df in owned:
+            df.unpersist()
 
 
 def release_shingle_caches() -> int:
-    """Unpersist every shingle projection cached by prior
-    :func:`jaccard_pairs` / :func:`minhash_lsh_pairs` calls; returns
-    how many were released."""
+    """Unpersist every session-level (non-scoped) shingle projection
+    cached by prior :func:`jaccard_pairs` / :func:`minhash_lsh_pairs`
+    calls; returns how many were released."""
     n = 0
-    while _SHINGLE_CACHES:
-        _SHINGLE_CACHES.pop().unpersist()
+    with _SHINGLE_LOCK:
+        drained, _SHINGLE_CACHES[:] = _SHINGLE_CACHES[:], []
+    for df in drained:
+        df.unpersist()
         n += 1
     return n
 

@@ -303,3 +303,32 @@ def test_connected_components_raises_without_convergence(spark):
     # and converges fine with the default budget
     comps = {r["id"]: r["comp"] for r in connected_components(chain).collect()}
     assert set(comps.values()) == {"n0"}
+
+
+def test_shingle_cache_scope_owns_and_releases(spark, short_docs):
+    """Caches created inside shingle_cache_scope() are scope-owned (not
+    in the session-level list) and unpersisted on exit; the persisted
+    projection is materialized EAGERLY (storage populated before the
+    consuming action runs — the round-2 lazy-persist race fix)."""
+    from pdf_parser_spark.operators.dedup import (
+        _SHINGLE_CACHES,
+        release_shingle_caches,
+        shingle_cache_scope,
+    )
+
+    release_shingle_caches()
+    sh = word_shingles(short_docs, "text", 3)
+    with shingle_cache_scope() as owned:
+        pairs = minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.5)
+        assert len(owned) == 1 and not _SHINGLE_CACHES
+        # eager materialization: blocks exist before any consuming action
+        assert owned[0].storageLevel.useMemory
+        assert owned[0].rdd.getNumPartitions() >= 0
+        rows = pairs.collect()
+        assert {(r["id_a"], r["id_b"]) for r in rows} == {("d4", "d5")}
+    assert not owned[0].storageLevel.useMemory or not owned[0].is_cached
+    # outside a scope, caches land in the session-level list
+    pairs2 = minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.5)
+    assert len(_SHINGLE_CACHES) == 1
+    pairs2.count()
+    assert release_shingle_caches() == 1
