@@ -92,3 +92,77 @@ def streaming_sessionize(events_stream, gap_us: int):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _ReplayState:
+    """Minimal GroupState stand-in for bounded batch replay: the same
+    exists/get/update surface :func:`make_session_fn` touches."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = tuple(value)
+
+
+def batch_replay_sessions(events, gap_us: int, n_waves: int = 3):
+    """Replay a BOUNDED events table through the exact stateful update
+    function the streaming operator runs (:func:`make_session_fn`),
+    via plain ``applyInPandas`` — the oracle-gate harness the round-2
+    VERDICT asked for (streaming ops had only pytest assertions, no
+    DuckDB value-exactness gate).
+
+    Each key's events are sorted by time and split into ``n_waves``
+    chunks fed as successive micro-batches against one carried state
+    object, so cross-batch state persistence is genuinely exercised —
+    a session spanning a wave boundary only closes correctly if the
+    state survived the boundary. After the last wave the still-open
+    session is flushed (batch replay ends the stream; in streaming it
+    would close via a later event or an idle timeout).
+
+    The result is the operator's full session set, value-comparable to
+    the lag+cumsum SQL sessionization oracle (the W1 family).
+    ``events``: DataFrame with (user_id bigint, us bigint).
+    """
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    fn = make_session_fn(gap_us)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        user_id = int(pdf["user_id"].iloc[0])
+        pdf = pdf.sort_values("us", kind="mergesort").reset_index(drop=True)
+        waves = max(1, min(n_waves, len(pdf)))
+        bounds = [round(i * len(pdf) / waves) for i in range(waves + 1)]
+        state = _ReplayState()
+        outs = []
+        for i in range(waves):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if len(chunk):
+                outs.extend(fn((user_id,), [chunk], state))
+        if state.exists:
+            start_us, last_us, n = state.get
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start_us": [start_us],
+                        "session_end_us": [last_us],
+                        "n_events": [n],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="int64") for f in SESSION_OUT_SCHEMA}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandas(replay, schema=SESSION_OUT_SCHEMA)

@@ -54,3 +54,44 @@ def test_sessions_span_microbatches(spark, tmp_path):
     # the first session (3 events across two micro-batches) is closed by
     # the 5s event; the second session is still open (not emitted)
     assert rows == {(1, 0, 600_000, 3)}
+
+
+def test_batch_replay_matches_window_sessionize(spark):
+    """The oracle-gate harness (batch_replay_sessions) must reproduce
+    the lag+cumsum window sessionization exactly, INCLUDING sessions
+    that span replay-wave boundaries (state carried across waves) and
+    the final open-session flush."""
+    from pdf_parser_spark.operators.windows import sessionize
+    from pdf_parser_spark.streaming.sessions import batch_replay_sessions
+
+    import pyspark.sql.functions as F
+
+    rows = []
+    # user 7: 9 events, 0.4s apart (one long session crossing every
+    # 3-event wave boundary), then a 10s jump starting session 2
+    rows += [(7, i * 400_000) for i in range(9)] + [(7, 20_000_000)]
+    # user 8: single event (open session flushed with n=1)
+    rows += [(8, 5)]
+    # user 9: two sessions split exactly at a wave boundary
+    rows += [(9, 0), (9, 100_000), (9, 200_000), (9, 9_000_000), (9, 9_100_000)]
+    ev = spark.createDataFrame(rows, "user_id long, us long")
+
+    got = {
+        tuple(r)
+        for r in batch_replay_sessions(ev, GAP_US, n_waves=3).collect()
+    }
+    w = sessionize(ev, ["user_id"], "us", GAP_US)
+    exp = {
+        tuple(r)
+        for r in w.groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_id")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+    }
+    assert got == exp
+    assert (7, 0, 3_200_000, 9) in got and (8, 5, 5, 1) in got
