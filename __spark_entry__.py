@@ -700,6 +700,21 @@ ORDER BY doc_id
 assert _D6_SQL.lstrip().startswith("WITH RECURSIVE"), "_D6_SQL lost RECURSIVE"
 
 
+def q_d7_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster formation as d6 but through the O(log n)-round
+    large-star/small-star algorithm (connected_components_star) — deep
+    chain-shaped components (document revision histories) exceed
+    min-label's O(diameter) budget. Components are algorithm-invariant,
+    so the identical recursive-CTE oracle value-checks this variant
+    end-to-end too."""
+    from pdf_parser_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", 3)
+    pairs = minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.12)
+    return dedup_clusters(pairs, algorithm="star").orderBy("doc_id")
+
+
 _T3_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1058,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
         "d6_dedup_clusters": q_d6_dedup_clusters,
+        "d7_cluster_star": q_d7_cluster_star,
         "d4_simhash": q_d4_simhash,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
@@ -1094,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_ngram_jaccard": _D2_SQL,
         "d3_minhash_lsh": _D3_SQL,
         "d6_dedup_clusters": _D6_SQL,
+        "d7_cluster_star": _D6_SQL,  # components are algorithm-invariant
         "d4_simhash": _simhash_sql(16),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,

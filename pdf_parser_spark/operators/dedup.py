@@ -372,16 +372,126 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "long duplicate chains exceed min-label's O(diameter) budget; "
+        "use connected_components_star (O(log n) rounds) for deep graphs"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 40
+) -> DataFrame:
+    """Two-phase large-star/small-star connected components — the
+    O(log n)-round variant for DEEP pair graphs (long duplicate chains,
+    e.g. successive document revisions), where plain min-label
+    propagation needs O(component diameter) rounds.
+
+    Published algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014):
+    alternate until the edge set is stable —
+
+    - large-star(u): attach every neighbor v > u to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): attach every neighbor v < u, and u itself, to
+      m = min({v ∈ Γ(u): v < u} ∪ {u}).
+
+    Both phases are a min-aggregate + a join per round (no adjacency
+    collect_list, so a high-degree hub never materializes its neighbor
+    set on one task); at the fixpoint every edge is (component-min,
+    member). Returns (id, comp) like :func:`connected_components` —
+    the two are interchangeable; tests assert identical output.
+    """
+    u, v, a, b = F.col("u"), F.col("v"), F.col("a"), F.col("b")
+
+    def canon(df: DataFrame, x: str, y: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(x), F.col(y)).alias("a"),
+                F.greatest(F.col(x), F.col(y)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(a.alias("u"), b.alias("v")).unionByName(
+            e.select(b.alias("u"), a.alias("v"))
+        )
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) sum: a long sum of xxhash64 values overflows
+        # under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], int(row["h"]))
+
+    # lineage-truncate each round (same rationale as min-label above)
+    edges = canon(pairs, id_a, id_b).localCheckpoint()
+    fp = fingerprint(edges)
+    for _ in range(max_iter):
+        # large-star: m = min over ALL neighbors and self
+        s = sym(edges)
+        mn = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), u)
+        large = canon(
+            s.join(mn, "u").filter(v > u).select(v.alias("x"), m.alias("y")),
+            "x",
+            "y",
+        )
+        # small-star: m over SMALLER neighbors and self (v < u ⇒ m = min v)
+        s2 = sym(large)
+        smaller = s2.filter(v < u)
+        mn2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = canon(
+            smaller.join(mn2, "u")
+            .select(v.alias("x"), F.col("m").alias("y"))
+            .unionByName(mn2.select(u.alias("x"), F.col("m").alias("y"))),
+            "x",
+            "y",
+        ).localCheckpoint()
+        new_fp = fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            # fixpoint: every edge is (component-min a, member b)
+            members = edges.groupBy(F.col("b").alias("id")).agg(
+                F.min("a").alias("comp")
+            )
+            roots = edges.select(a.alias("id"), a.alias("comp")).distinct()
+            return (
+                members.unionByName(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+        fp = new_fp
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, component, cluster_size) for every document appearing
     in a near-dup pair; keep rows where ``doc_id != component`` to drop
-    non-canonical duplicates."""
-    comps = connected_components(pairs, id_a, id_b)
+    non-canonical duplicates.
+
+    ``algorithm``: ``"label"`` (min-label propagation, O(diameter)
+    rounds — right for shallow near-clique dup graphs) or ``"star"``
+    (large-star/small-star, O(log n) rounds — for chain-shaped
+    components like revision histories)."""
+    if algorithm == "star":
+        comps = connected_components_star(pairs, id_a, id_b)
+    elif algorithm == "label":
+        comps = connected_components(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} (use 'label' or 'star')")
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comps.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),

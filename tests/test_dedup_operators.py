@@ -332,3 +332,69 @@ def test_shingle_cache_scope_owns_and_releases(spark, short_docs):
     assert len(_SHINGLE_CACHES) == 1
     pairs2.count()
     assert release_shingle_caches() == 1
+
+
+def test_star_cc_matches_label_on_random_graphs(spark):
+    """large-star/small-star must produce IDENTICAL components to
+    min-label propagation. Seeded random graphs mixing cliques, chains,
+    and isolated pairs."""
+    import random
+
+    from pdf_parser_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        edges = []
+        # a few cliques
+        for c in range(3):
+            nodes = [f"t{trial}c{c}n{i}" for i in range(rng.randint(2, 5))]
+            edges += [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+        # a chain
+        ch = [f"t{trial}ch{i:03d}" for i in range(rng.randint(5, 12))]
+        edges += list(zip(ch, ch[1:]))
+        # random extra edges
+        all_nodes = sorted({n for e in edges for n in e})
+        edges += [tuple(rng.sample(all_nodes, 2)) for _ in range(5)]
+        rng.shuffle(edges)
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {(r["id"], r["comp"]) for r in connected_components_star(pairs).collect()}
+        exp = {(r["id"], r["comp"]) for r in connected_components(pairs, max_iter=60).collect()}
+        assert got == exp
+
+
+def test_star_cc_deep_chain_converges_fast(spark):
+    """A 120-hop chain: min-label needs ~120 rounds (blows its budget),
+    the star variant converges in O(log n) — and still labels every
+    node with the chain head."""
+    from pdf_parser_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(120)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        # log2(120) ≈ 7 alternations needed; 2 is not enough
+        connected_components_star(chain, max_iter=2)
+    comps = {r["id"]: r["comp"] for r in connected_components_star(chain, max_iter=12).collect()}
+    assert len(comps) == 121 and set(comps.values()) == {"n0000"}
+    with pytest.raises(RuntimeError, match="use connected_components_star"):
+        connected_components(chain, max_iter=25)
+
+
+def test_dedup_clusters_star_algorithm(spark):
+    from pdf_parser_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: (r["component"], r["cluster_size"])
+            for r in dedup_clusters(pairs, algorithm="star").collect()}
+    assert rows == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+                    "x": ("x", 2), "y": ("x", 2)}
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup_clusters(pairs, algorithm="bogus")
