@@ -29,8 +29,12 @@ Production mapping: the marker table is Iceberg snapshot metadata
 (each group commit = one snapshot carrying the bucket list as a
 snapshot property); the per-group directories become partitions of the
 ``extracted_spans`` table written with ``writeTo(...).append()`` inside
-the same commit. The parquet marker files here are the sandbox
-stand-in with identical semantics.
+the same commit. That sink is real code now — ``streaming/sinks.py``
+selects :class:`IcebergTableSink` when the target is a table in a
+configured Iceberg catalog (``resolve_sink``) and routes each group
+through one atomic ``writeTo(table).append()`` with per-group
+compensation deletes for crash replay; the parquet marker files here
+are the sandbox stand-in with identical semantics.
 
 The reference's only resume notion is the regression harness skipping
 existing goldens (/root/reference/run_regression.py:130-144); this
@@ -72,7 +76,30 @@ def _markers(out_dir: str) -> dict[str, dict]:
     return out
 
 
-def _check_meta(out_dir: str, n_buckets: int) -> None:
+def _input_fingerprint(docs: DataFrame) -> dict:
+    """Cheap content fingerprint of the input table: row count, id
+    range, and an order-insensitive id-hash sum. Guards resumes against
+    a DIFFERENT/updated input silently extracting from the stale staged
+    snapshot (round-2 ADVICE: _SUCCESS gated staging reuse, but nothing
+    checked the input still matched)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.coalesce(
+            F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return {
+        "n_docs": row["n"],
+        "min_doc_id": row["lo"],
+        "max_doc_id": row["hi"],
+        "id_hash_sum": str(row["h"]),
+    }
+
+
+def _check_meta(out_dir: str, n_buckets: int, fingerprint: dict) -> None:
     meta_path = os.path.join(out_dir, "_progress", "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -82,10 +109,18 @@ def _check_meta(out_dir: str, n_buckets: int) -> None:
                 f"resume with n_buckets={n_buckets} but checkpoint was written "
                 f"with n_buckets={meta['n_buckets']}; bucket assignment would shift"
             )
+        recorded = meta.get("input_fingerprint")
+        if recorded is not None and recorded != fingerprint:
+            raise ValueError(
+                "resume input does not match the staged snapshot "
+                f"(recorded {recorded}, got {fingerprint}); delete the "
+                "checkpoint directory to reprocess the new input, or pass "
+                "the original input to finish the interrupted run"
+            )
     else:
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+            json.dump({"n_buckets": n_buckets, "input_fingerprint": fingerprint}, f)
         os.replace(tmp, meta_path)
 
 
@@ -106,14 +141,20 @@ def _stage_bucketed(
     return spark.read.parquet(staged)
 
 
-def _clean_uncommitted(out_dir: str) -> list[str]:
-    """Delete span group directories that have no committed marker
-    (partial writes from a crash, or leftovers from a different
-    group_size)."""
+def _clean_uncommitted(out_dir: str, sink=None) -> list[str]:
+    """Delete span group outputs that have no committed marker (partial
+    writes from a crash, or leftovers from a different group_size).
+    Parquet sink: remove uncommitted ``group=`` directories. Iceberg
+    sink: compensation happens per-group instead — every pending group
+    is ``DELETE WHERE _group = ...``-compensated right before its
+    re-append (see the write loop), because enumerating a table's
+    groups costs a scan while the pending set is already known."""
     spans_dir = os.path.join(out_dir, "spans")
     committed = set(_markers(out_dir))
     removed = []
-    if os.path.isdir(spans_dir):
+    if (sink is None or getattr(sink, "kind", "parquet") == "parquet") and os.path.isdir(
+        spans_dir
+    ):
         for name in os.listdir(spans_dir):
             if name.startswith("group=") and name not in committed:
                 shutil.rmtree(os.path.join(spans_dir, name))
@@ -131,17 +172,29 @@ def extract_with_checkpoint(
     mode: str = "auto",
     decoder: str = "synthetic",
     fail_after_groups: int | None = None,
+    sink=None,
 ) -> dict:
     """Run the extraction pipeline resumably.
+
+    ``sink``: a span sink from :mod:`pdf_parser_spark.streaming.sinks`
+    (or any object with its ``write_group``/``read_group`` surface);
+    defaults to parquet group directories under ``out_dir``. Pass
+    ``resolve_sink(spark, "cat.db.extracted_spans")`` to commit each
+    group as an Iceberg snapshot append instead — the marker log (and
+    in production the snapshot properties it stands in for) stays the
+    source of truth either way.
 
     Returns a summary dict. ``fail_after_groups`` injects a crash after
     N committed groups (test hook for kill/resume semantics).
     """
     from pdf_parser_spark.plans.extract import extract_spans
+    from pdf_parser_spark.streaming.sinks import ParquetDirSink
 
+    if sink is None:
+        sink = ParquetDirSink(out_dir)
     os.makedirs(os.path.join(out_dir, "_progress"), exist_ok=True)
-    _check_meta(out_dir, n_buckets)
-    removed = _clean_uncommitted(out_dir)
+    _check_meta(out_dir, n_buckets, _input_fingerprint(docs))
+    removed = _clean_uncommitted(out_dir, sink)
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     staged = _stage_bucketed(spark, docs, out_dir, n_buckets)
@@ -153,13 +206,16 @@ def extract_with_checkpoint(
         sub = staged.filter(F.col("_bucket").isin(group)).drop("_bucket")
         out = extract_spans(sub, sections=sections, mode=mode, decoder=decoder)
         group_name = f"group={min(group)}"
-        group_dir = os.path.join(out_dir, "spans", group_name)
-        out.write.mode("overwrite").parquet(group_dir)
+        if getattr(sink, "kind", "parquet") == "iceberg":
+            # compensate a possible uncommitted append from a crash
+            # between append and marker commit (idempotent replay)
+            sink.delete_group(spark, group_name)
+        sink.write_group(out, group_name)
 
         # lineage/metrics for this partition group (replaces the
         # reference's debug-image side effects with columnar rows)
         stats = (
-            spark.read.parquet(group_dir)
+            sink.read_group(spark, group_name)
             .agg(
                 F.countDistinct("doc_id").alias("docs"),
                 F.count(F.lit(1)).alias("spans"),
@@ -192,17 +248,16 @@ def extract_with_checkpoint(
     }
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(spark: SparkSession, out_dir: str, sink=None) -> DataFrame:
     """Read ONLY committed group outputs (the marker log is the source
-    of truth — an uncommitted directory from a crash is not data)."""
-    dirs = [
-        os.path.join(out_dir, "spans", name)
-        for name in _markers(out_dir)
-        if os.path.isdir(os.path.join(out_dir, "spans", name))
-    ]
-    if not dirs:
-        raise FileNotFoundError(f"no committed span groups under {out_dir}")
-    return spark.read.parquet(*dirs)
+    of truth — an uncommitted directory/append from a crash is not
+    data). Pass the same ``sink`` the run used; defaults to the parquet
+    group directories under ``out_dir``."""
+    from pdf_parser_spark.streaming.sinks import ParquetDirSink
+
+    if sink is None:
+        sink = ParquetDirSink(out_dir)
+    return sink.read_groups(spark, list(_markers(out_dir)))
 
 
 def read_metrics(out_dir: str) -> list[dict]:
