@@ -519,14 +519,25 @@ def highlight_preprocess(rgb_page: np.ndarray, box: dict,
     """K6, pure-image stage (response_extractor.py:830-851): pad+crop the
     answer window, mask broad-yellow pixels to white, grayscale,
     adaptive-threshold, 2×2 dilate. Returns the binarized crop ready for
-    whitelist OCR; empty (0,0) array when the padded box has no area."""
+    whitelist OCR; empty (0,0) array when the padded box has no area.
+
+    Crop semantics mirror the reference exactly: left/top are clamped
+    to 0 (``max(0, ..)`` at response_extractor.py:835-836) but
+    right/bottom are NOT — ``PIL.Image.crop`` zero-pads beyond the
+    page edge, so an answer box near the right/bottom edge feeds a
+    black-padded crop to the threshold stage rather than a truncated
+    one (round-2 ADVICE: the earlier clamp diverged here)."""
     xs = max(0, int(box["x_start"]) - pad_x)
     ys = max(0, int(box["y_start"]) - pad_y)
-    xe = min(rgb_page.shape[1], int(box["x_end"]) + pad_x)
-    ye = min(rgb_page.shape[0], int(box["y_end"]) + pad_y)
+    xe = int(box["x_end"]) + pad_x
+    ye = int(box["y_end"]) + pad_y
     if xe <= xs or ye <= ys:
         return np.zeros((0, 0), dtype=np.uint8)
-    crop = rgb_page[ys:ye, xs:xe].copy()
+    crop = np.zeros((ye - ys, xe - xs, 3), dtype=rgb_page.dtype)
+    in_ye = min(rgb_page.shape[0], ye)
+    in_xe = min(rgb_page.shape[1], xe)
+    if in_ye > ys and in_xe > xs:
+        crop[: in_ye - ys, : in_xe - xs] = rgb_page[ys:in_ye, xs:in_xe]
     hsv = rgb_to_hsv_u8(crop)
     mask = in_range_u8(hsv, HSV_YELLOW_LO, HSV_YELLOW_HI)
     crop[mask > 0] = (255, 255, 255)

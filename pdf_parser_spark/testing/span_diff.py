@@ -23,7 +23,12 @@ def _structure(spans: list[Span]) -> dict:
     pages: dict[str, dict] = {}
     texts: list[str] = []
     cur_section = None
-    last_q = None
+    # last question as (owning page dict, index): an answer that is the
+    # first span of a NEW page must attach to the question on the page
+    # it belongs to (cross-page continuation), not index the new page's
+    # empty qa list with the old page's offset (round-2 ADVICE — that
+    # raised IndexError or mis-attached the answer in the diff output)
+    last_q: tuple[dict, int] | None = None
     for kind, text, media_ref, _order in spans:
         if kind == "text":
             texts.append(text)
@@ -36,10 +41,11 @@ def _structure(spans: list[Span]) -> dict:
         elif kind == "checkbox":
             page["sections"].setdefault(cur_section, []).append(text)
         elif kind == "question":
-            last_q = len(page["qa"])
+            last_q = (page, len(page["qa"]))
             page["qa"].append([text, None])
         elif kind == "answer" and last_q is not None:
-            page["qa"][last_q][1] = text
+            q_page, q_idx = last_q
+            q_page["qa"][q_idx][1] = text
     return {"texts": texts, "pages": pages}
 
 

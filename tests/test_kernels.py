@@ -257,9 +257,28 @@ def test_highlight_preprocess_whites_out_yellow_keeps_glyphs():
 
 
 def test_highlight_preprocess_degenerate_box():
+    # negative-extent box (x_end/y_end left of the clamped start) → empty
     page = np.full((10, 10, 3), 255, dtype=np.uint8)
-    thr = K.highlight_preprocess(page, {"x_start": 50, "y_start": 50, "x_end": 60, "y_end": 60})
+    thr = K.highlight_preprocess(
+        page, {"x_start": 5, "y_start": 5, "x_end": -40, "y_end": -40}
+    )
     assert thr.size == 0
+
+
+def test_highlight_preprocess_zero_pads_beyond_edge_like_pil():
+    """PIL crop semantics (response_extractor.py:835-839): left/top
+    clamp to 0, right/bottom zero-pad past the page edge — the crop
+    keeps the full padded size, with black fill outside the page."""
+    page = np.full((40, 40, 3), 255, dtype=np.uint8)
+    box = {"x_start": 30, "y_start": 30, "x_end": 50, "y_end": 50}
+    thr = K.highlight_preprocess(page, box)
+    # xs=15, ys=15 (clamped), xe=65, ye=62 (NOT clamped) → 47×50 crop
+    assert thr.shape == (50 + 12 - 30 + 12, 50 + 15 - 30 + 15)
+    # a box entirely beyond the page is an all-black PIL crop, not empty
+    thr2 = K.highlight_preprocess(
+        page, {"x_start": 100, "y_start": 100, "x_end": 110, "y_end": 110}
+    )
+    assert thr2.shape == (10 + 24, 10 + 30) and thr2.size > 0
 
 
 def test_normalize_yesno():
