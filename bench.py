@@ -126,12 +126,19 @@ def _scaling_evidence() -> dict:
     writes it; measured fresh-JVM best-of-3 on the skewed corpus — too
     slow to recompute inside every bench run). Carries the north-rule
     two-cluster-size evidence into the per-round BENCH record."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "scaling.json")
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return {"scaling": json.load(f)}
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    path = os.path.join(here, "BENCH", "scaling.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            out["scaling"] = json.load(f)
+    # paged+native throughput (tools/bench_native.py): the real-kernel
+    # decode path, incl. the skewed-corpus fused/paged crossover
+    npath = os.path.join(here, "BENCH", "native.json")
+    if os.path.exists(npath):
+        with open(npath) as f:
+            out["native"] = json.load(f)
+    return out
 
 
 def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = None) -> dict:
