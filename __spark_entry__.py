@@ -236,6 +236,31 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
 """
 
 
+def q_w12_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked tumbling-window streaming
+    aggregation (streaming/windows.py): identical groupBy(window(ts),
+    event_type) plan, value-checked against DuckDB's epoch-aligned
+    bucketing (us - us % window). The streaming semantics (append-mode
+    emission after watermark passage, late-event drop) are pinned by
+    tests/test_streaming_windows.py."""
+    from pdf_parser_spark.streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    agg = windowed_counts(ev, "10 minutes")
+    return agg.select(
+        _us("window.start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start_us", "event_type")
+
+
+_W12_SQL = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events)
+SELECT us - us % 600000000 AS window_start_us, event_type, count(*) AS n_events
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     top = topk_per_group(
@@ -1055,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_pricing_summary": q_a1_pricing_summary,
         "w1_sessionize": q_w1_sessionize,
         "w11_stateful_sessions": q_w11_stateful_sessions,
+        "w12_windowed_counts": q_w12_windowed_counts,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
         "a8_consecutive_dedup": q_a8_consecutive_dedup,
@@ -1092,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_pricing_summary": _A1_SQL,
         "w1_sessionize": _W1_SQL,
         "w11_stateful_sessions": _W11_SQL,
+        "w12_windowed_counts": _W12_SQL,
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
         "a8_consecutive_dedup": _A8_SQL,
