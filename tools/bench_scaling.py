@@ -161,8 +161,18 @@ doc_id shuffle of opaque binary token payloads, so a multi-hundred-page
 document cannot serialize one task.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve the appended history sections (round-over-round, paged/
+    # native data points, adjudications): keep everything from the first
+    # "## " heading of the existing file onward
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     summary = {"eff_2_8": round(e28, 3), "eff_8_32": round(e832, 3),
                "n_docs": results[2]["n_docs"],
                "thr": {c: r["docs_per_sec"] for c, r in results.items()},
