@@ -20,6 +20,8 @@ TABLES = [
 SUBSET = [
     "a1_pricing_summary",
     "w1_sessionize",
+    "w11_stateful_sessions",
+    "w12_windowed_counts",
     "j1_priority_dedupe",
     "j3_nearest_assign",
     "e3_completeness",
