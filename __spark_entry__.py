@@ -49,6 +49,7 @@ from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
 from pdf_parser_spark.operators.textstats import (
     hash_split,
     hash_split_oracle_sql,
+    language_id_oracle_sql,
     rolling_fingerprint,
     text_profile,
 )
@@ -756,6 +757,18 @@ def q_t3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language marker-word language-ID (n-gram/function-word
+    heuristic): per-language hit counts + argmax with a fixed priority
+    tie-break, 'und' on zero hits. Scores AND classification are
+    value-checked; the oracle SQL is generated from the same
+    LANG_MARKERS table (one source, no drift)."""
+    from pdf_parser_spark.operators.textstats import language_id_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id_multi(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def q_d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=16).orderBy("doc_id")
@@ -1095,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_profile": q_t1_text_profile,
         "t2_rolling_fingerprint": q_t2_rolling_fingerprint,
         "t3_hash_split": q_t3_hash_split,
+        "t4_language_id": q_t4_language_id,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_lsh": q_d3_minhash_lsh,
@@ -1133,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "t1_text_profile": _T1_SQL,
         "t2_rolling_fingerprint": _T2_SQL,
         "t3_hash_split": hash_split_oracle_sql("documents", "doc_id", _T3_FRACTIONS),
+        "t4_language_id": language_id_oracle_sql("documents", "doc_id", "text"),
         "d1_exact_dedup": _D1_SQL,
         "d2_ngram_jaccard": _D2_SQL,
         "d3_minhash_lsh": _D3_SQL,

@@ -61,6 +61,91 @@ def lang_id(text_col: str) -> Column:
     return F.when(stopword_ratio(text_col) > 0.02, F.lit("en")).otherwise(F.lit("unk"))
 
 
+# Multi-language marker-word sets for the n-gram/function-word
+# language-ID heuristic (the classic stopword-profile classifier:
+# function words are the highest-frequency, most language-specific
+# tokens, so raw marker hit-counts separate languages well at
+# paragraph length). Deterministic and SQL-expressible — the DuckDB
+# oracle reproduces the identical scores.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "zu", "den", "von"],
+    "en": ["the", "a", "an", "of", "to", "in", "and", "is", "it",
+           "that", "for", "on"],
+    "es": ["el", "los", "las", "que", "y", "un", "una", "es", "por",
+           "con", "del", "como"],
+    "fr": ["le", "les", "et", "des", "est", "dans", "pour", "sur",
+           "au", "ce", "qui", "pas"],
+}
+
+
+def language_scores(text_col: str) -> dict[str, Column]:
+    """Per-language marker hit counts (occurrences, not distinct) over
+    single-space tokenization (matches the oracle's string_split)."""
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+
+    def member_of(words: list[str]):
+        # single-arg lambda: a 2-arg lambda would receive the element
+        # INDEX as its second argument from F.filter, not the closure
+        return lambda t: t.isin(*words)
+
+    return {
+        lang: F.size(F.filter(tokens, member_of(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def language_id_multi(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s_<lang>..., lang): argmax of the marker scores with a fixed
+    priority order (dict order: de, en, es, fr) breaking ties, 'und'
+    when no marker hits at all — deterministic in both engines."""
+    scores = language_scores(text_col)
+    langs = list(scores)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].cast("bigint").alias(f"s_{lang}") for lang in langs],
+    )
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        for prior in langs[:i]:
+            cond = cond & (F.col(f"s_{lang}") > F.col(f"s_{prior}"))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return out.withColumn("lang", expr.otherwise("und"))
+
+
+def language_id_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """The identical classification in SQL for the DuckDB oracle —
+    scores and CASE conditions generated from the SAME LANG_MARKERS
+    and priority order (one source, no drift)."""
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "len(list_filter(string_split(lower({t}), ' '), x -> x IN ({w}))) AS s_{l}".format(
+            t=text_col,
+            w=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]),
+            l=lang,
+        )
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds += [f"s_{lang} > s_{prior}" for prior in langs[:i]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+       {score_cols}
+  FROM {table})
+SELECT {id_col}, {', '.join(f's_{l}' for l in langs)},
+       CASE {' '.join(cases)} ELSE 'und' END AS lang
+FROM s ORDER BY {id_col}
+"""
+
+
 def fingerprint(text_col: str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text (stable across engines)."""

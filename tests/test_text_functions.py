@@ -81,3 +81,31 @@ def test_detect_schema_variant():
         detect_schema_variant("male patient information ... female patient information")
         == "male"
     )
+
+
+def test_language_id_multi(spark):
+    """Marker-based multi-language ID: each language wins on its own
+    function words; ties break by fixed priority order (de, en, es,
+    fr); no markers → 'und'. Crafted texts, both engines' semantics."""
+    from pdf_parser_spark.operators.textstats import language_id_multi
+
+    docs = spark.createDataFrame(
+        [
+            ("d_en", "the cat sat on the mat and it is happy"),
+            ("d_de", "der hund ist nicht mit der katze und der maus"),
+            ("d_es", "el perro y el gato que juegan con una pelota"),
+            ("d_fr", "le chien et le chat qui jouent dans le jardin pour rire"),
+            ("d_tie", "the der"),       # en 1, de 1 → de (priority order)
+            ("d_und", "zzz qqq xyzzy"),
+            ("d_empty", ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in language_id_multi(docs, "doc_id", "text").collect()}
+    assert rows["d_en"]["lang"] == "en" and rows["d_en"]["s_en"] == 6
+    assert rows["d_de"]["lang"] == "de" and rows["d_de"]["s_de"] >= 6
+    assert rows["d_es"]["lang"] == "es"
+    assert rows["d_fr"]["lang"] == "fr"
+    assert rows["d_tie"]["lang"] == "de"
+    assert rows["d_und"]["lang"] == "und"
+    assert rows["d_empty"]["lang"] == "und"
