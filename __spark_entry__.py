@@ -262,6 +262,33 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_w13_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (10-minute window, 5-minute slide): every event
+    lands in window/slide = 2 overlapping epoch-aligned windows. The
+    oracle expands each event to its two bucket starts with unnest —
+    value-checking Spark's sliding `window()` bucketing exactly."""
+    from pdf_parser_spark.streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    agg = windowed_counts(ev, "10 minutes", slide="5 minutes")
+    return agg.select(
+        _us("window.start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start_us", "event_type")
+
+
+_W13_SQL = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+w AS (SELECT event_type,
+             unnest([us - us % 300000000, us - us % 300000000 - 300000000])
+               AS window_start_us
+      FROM e)
+SELECT window_start_us, event_type, count(*) AS n_events
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     top = topk_per_group(
@@ -1094,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_sessionize": q_w1_sessionize,
         "w11_stateful_sessions": q_w11_stateful_sessions,
         "w12_windowed_counts": q_w12_windowed_counts,
+        "w13_sliding_counts": q_w13_sliding_counts,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
         "a8_consecutive_dedup": q_a8_consecutive_dedup,
@@ -1133,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_sessionize": _W1_SQL,
         "w11_stateful_sessions": _W11_SQL,
         "w12_windowed_counts": _W12_SQL,
+        "w13_sliding_counts": _W13_SQL,
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
         "a8_consecutive_dedup": _A8_SQL,

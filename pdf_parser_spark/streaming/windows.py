@@ -34,8 +34,11 @@ def windowed_counts(
     keys: tuple[str, ...] = ("event_type",),
     ts_col: str = "ts",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """(window struct, *keys, n_events) tumbling-window counts.
+    """(window struct, *keys, n_events) tumbling- or sliding-window
+    counts (``slide`` < window → overlapping windows; each event lands
+    in window/slide buckets, all epoch-aligned).
 
     ``events``: batch or streaming DataFrame with an event-time
     timestamp column. ``watermark``: e.g. ``"30 minutes"`` — required
@@ -45,9 +48,12 @@ def windowed_counts(
     df = events
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
-    return df.groupBy(F.window(ts_col, window_duration), *keys).agg(
-        F.count(F.lit(1)).alias("n_events")
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide is not None
+        else F.window(ts_col, window_duration)
     )
+    return df.groupBy(win, *keys).agg(F.count(F.lit(1)).alias("n_events"))
 
 
 def start_windowed_counts(
