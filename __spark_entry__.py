@@ -913,6 +913,56 @@ SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= {k} ORDER BY query_id, r
 _S2_SQL = _ann_topk_sql(_BAND_IDS_SQL, _BAND_KEYS_SQL)
 
 
+def q_s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic seeded
+    coarse centroids (8 cells), nearest-cell inverted lists, 2-cell
+    probe per query, exact cosine inside probed lists. The oracle
+    reproduces centroid selection (same salted id-hash), assignment,
+    and probing in SQL — rounded similarities + id tie-breaks make the
+    argmax/rank decisions engine-invariant."""
+    from pdf_parser_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id", "qv",
+        k=3, n_centroids=8, nprobe=2,
+    )
+    return out.orderBy("query_id", "rk")
+
+
+_IVF_COS = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
+
+_S4_SQL = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT centroid_id, cvec FROM (
+    SELECT vec_id AS centroid_id, v AS cvec,
+           CAST(concat('0x', substr(md5(concat('ivf:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM c) ORDER BY h, centroid_id LIMIT 8),
+asg AS (SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cent.centroid_id AS cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             {_IVF_COS.format(a='c.v', b='cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+probes AS (SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_IVF_COS.format(a='q.qv', b='cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2),
+r AS (SELECT query_id, vec_id,
+             {_IVF_COS.format(a='p.qv', b='a.v')} AS cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               {_IVF_COS.format(a='p.qv', b='a.v')} DESC, a.vec_id) AS rk
+      FROM probes p JOIN asg a USING (cell) WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
+"""
+
+
+
 def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with the same multi-probe banding as s2 (pairs
     agreeing in ANY band become candidates; exact cosine verifies)."""
@@ -1146,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
+        "s4_ivf_ann": q_s4_ivf_ann,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "k1_kmv_distinct": q_k1_kmv_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
@@ -1186,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),
+        "s4_ivf_ann": _S4_SQL,
         "d5_embedding_neardup": _D5_SQL,
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,

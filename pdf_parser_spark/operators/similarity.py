@@ -282,3 +282,107 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path: partition
+# the corpus into K cells by nearest centroid, probe only the query's
+# nprobe nearest cells, brute-force inside them. Complements the LSH
+# variants above: IVF adapts to the data distribution (cells follow
+# density) where sign-LSH is data-oblivious.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` corpus
+    vectors with the smallest salted id-hash — a seeded uniform sample,
+    stable across engines, partitionings, and runs (and reproducible in
+    the SQL oracle). Production IVF trains centroids with k-means
+    offline; everything downstream (assignment, inverted lists,
+    probing) is unchanged by how the centroids were obtained."""
+    from pdf_parser_spark.operators.dedup import md5_long
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            md5_long(F.col(id_col).cast("string"), "ivf").alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_cells`` nearest centroids by
+    rounded cosine (ties → smaller centroid_id, deterministic in both
+    engines). The centroid set is tiny → broadcast; the corpus scan
+    stays partition-parallel (K narrow comparisons per row, no
+    shuffle)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: inverted lists keyed by nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells and
+    brute-forces only those lists.
+
+    Scale posture: lists are hash-partitioned by cell (the probe join
+    is an equi-join on cell — at 10^12 vectors the lists live
+    pre-partitioned/bucketed by cell in storage and the probe prunes to
+    nprobe/K of the corpus); the centroid table is broadcast; per-query
+    top-k via window rank, no global sort. Recall is the standard IVF
+    trade (nprobe/K knob) — the driver gate value-checks the ALGORITHM
+    (same centroids, same probes) against the SQL oracle, determinism
+    guaranteed by rounded similarities with id tie-breaks."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    lists = ivf_assign(corpus, cents, id_col, vec_col, 1)
+    probes = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+        ),
+        cents,
+        "_qid",
+        "_qv",
+        nprobe,
+    )
+    cand = probes.join(lists, "cell").filter(F.col(id_col) != F.col("_qid"))
+    scored = cand.withColumn("cos_sim", cosine(F.col(vec_col), F.col("_qv")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            "cos_sim",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

