@@ -91,6 +91,7 @@ def jaccard_pairs(
     shingle_col: str,
     bucket_expr: Column | list[Column],
     threshold: float,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs within candidate buckets: self-join
     on a blocking key, Jaccard = |∩| / |∪| over the distinct shingle
@@ -109,6 +110,15 @@ def jaccard_pairs(
     threshold and are dropped up front. The (id, shingles) projection
     is persisted across the three plan branches (keying + both verify
     sides) — release via :func:`release_shingle_caches`.
+
+    ``max_bucket_rows``: opt-in scale-safety valve. Length-only
+    blocking is COMPLETE but inherently dense when the corpus is
+    length-uniform (every similarly-sized doc shares a band → the
+    bucket join degrades toward N² within the band). When set, the
+    builder counts bucket populations up front and raises before the
+    quadratic join can launch, naming the offending buckets — the
+    correct escalation is content-based blocking
+    (:func:`minhash_lsh_pairs`), which this error recommends.
     """
     df = _persist_shingles(
         df.select(F.col(id_col), F.col(shingle_col)).filter(
@@ -120,6 +130,23 @@ def jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(F.array(*exprs))).alias("bucket"),
     )
+    if max_bucket_rows is not None:
+        heavy = (
+            keyed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_rows)
+            .orderBy(F.desc("n"))
+            .limit(5)
+            .collect()
+        )
+        if heavy:
+            worst = ", ".join(f"bucket {r['bucket']}: {r['n']} rows" for r in heavy)
+            raise ValueError(
+                f"jaccard_pairs blocking bucket(s) exceed max_bucket_rows="
+                f"{max_bucket_rows} ({worst}); the self-join would approach "
+                "N² within those buckets — use content-based blocking "
+                "(minhash_lsh_pairs) for this corpus"
+            )
     a = keyed.select(F.col(id_col).alias("id_a"), "bucket")
     b = keyed.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (

@@ -439,3 +439,29 @@ def test_ivf_topk_probes_cells_and_ranks(spark):
         probed.setdefault(r["query_id"], set()).add(r["cell"])
     for r in out:
         assert lists[r["vec_id"]] in probed[r["query_id"]]
+
+
+def test_jaccard_pairs_bucket_guard(spark):
+    """The opt-in max_bucket_rows valve: a length-uniform corpus piles
+    every doc into the same band — the guard names the bucket and
+    recommends LSH instead of launching the quadratic join."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.dedup import (
+        length_band_buckets,
+        release_shingle_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(docs, "text", 3)
+    buckets = length_band_buckets(F.size("shingles"), 0.5)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5, max_bucket_rows=10)
+    release_shingle_caches()
+    # under the limit: runs normally (identical docs all pair up)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5, max_bucket_rows=50)
+    assert pairs.count() == 20 * 19 // 2
+    release_shingle_caches()
