@@ -349,10 +349,13 @@ def ivf_topk(
     k: int,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted lists keyed by nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and
-    brute-forces only those lists.
+    brute-forces only those lists. Pass ``centroids`` (e.g. from
+    :func:`ivf_train_kmeans`) to use a trained quantizer; defaults to
+    the seeded sample.
 
     Scale posture: lists are hash-partitioned by cell (the probe join
     is an equi-join on cell — at 10^12 vectors the lists live
@@ -362,7 +365,11 @@ def ivf_topk(
     trade (nprobe/K knob) — the driver gate value-checks the ALGORITHM
     (same centroids, same probes) against the SQL oracle, determinism
     guaranteed by rounded similarities with id tie-breaks."""
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    )
     lists = ivf_assign(corpus, cents, id_col, vec_col, 1)
     probes = ivf_assign(
         queries.select(
@@ -386,3 +393,60 @@ def ivf_topk(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def ivf_train_kmeans(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd-iteration training for the IVF coarse quantizer
+    (spherical-k-means-lite: cosine assignment, element-wise mean
+    update — cosine is scale-invariant, so the unnormalized mean
+    assigns identically to the normalized one).
+
+    Driver-coordinated iteration like connected_components: each round
+    is one broadcast assignment pass (K narrow comparisons per row, no
+    shuffle) plus ONE shuffle on (cell, dim) for the mean — the
+    centroid state is K×dim rows, lineage truncated per round with
+    localCheckpoint. Deterministic end-to-end: seeded init
+    (:func:`ivf_centroids`), rounded-cosine assignment with centroid-id
+    tie-breaks, and a (pos)-sorted mean reassembly — pinned against a
+    numpy replication in tests (iterative plans are not
+    SQL-oracle-expressible; the gate path uses the untrained seeded
+    centroids, which share every downstream stage).
+
+    Empty cells keep their previous centroid (the standard Lloyd
+    degenerate-cell rule). Returns (centroid_id, cvec:array<double>).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids).select(
+        "centroid_id",
+        F.transform("cvec", lambda v: v.cast("double")).alias("cvec"),
+    ).localCheckpoint()
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    for _ in range(iterations):
+        assigned = ivf_assign(vecs, cents, "_vid", "_v", 1)
+        ex = assigned.select(
+            F.col("cell"), F.posexplode(F.col("_v")).alias("pos", "val")
+        )
+        means = (
+            ex.groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_a"))
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform("_a", lambda s: s["m"]).alias("new_cvec"),
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_cvec", "cvec").alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return cents

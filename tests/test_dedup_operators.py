@@ -465,3 +465,48 @@ def test_jaccard_pairs_bucket_guard(spark):
     pairs = jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5, max_bucket_rows=50)
     assert pairs.count() == 20 * 19 // 2
     release_shingle_caches()
+
+
+def test_ivf_kmeans_matches_numpy_lloyd(spark):
+    """The distributed Lloyd trainer must reproduce a single-machine
+    numpy replication exactly: same seeded init, same rounded-cosine
+    assignment with centroid-id tie-break, same element-wise mean,
+    same empty-cell carry-over."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_train_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    K, ITERS = 4, 2
+    got = {r["centroid_id"]: np.array(r["cvec"])
+           for r in ivf_train_kmeans(emb, "vec_id", "embedding", K, ITERS).collect()}
+
+    # numpy replication
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    init = {r["centroid_id"]: np.array(r["cvec"], dtype=np.float64)
+            for r in ivf_centroids(emb, "vec_id", "embedding", K).collect()}
+    cents = dict(init)
+
+    def cos(a, b):
+        return round(float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6)
+
+    for _ in range(ITERS):
+        members: dict[int, list] = {c: [] for c in cents}
+        for vid, v in vecs.items():
+            best = min(
+                ((-cos(v, cv), cid) for cid, cv in cents.items())
+            )[1]  # max cosine, tie -> smaller centroid_id
+            members[best].append(v)
+        cents = {
+            cid: (np.mean(vs, axis=0) if vs else cents[cid])
+            for cid, vs in members.items()
+        }
+
+    assert set(got) == set(cents)
+    for cid in got:
+        np.testing.assert_allclose(got[cid], cents[cid], rtol=0, atol=1e-9)
