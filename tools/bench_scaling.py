@@ -7,6 +7,13 @@ levels (each in a fresh subprocess → fresh JVM), takes best-of-K
 steady-state estimator), computes throughput and scaling efficiency
 (= (thr@4N / thr@N) / 4), and writes BENCH/BASELINE.md.
 
+Steal-aware (round-3 VERDICT task 1): every timed run samples
+/proc/stat steal around itself; a level is only ACCEPTED when its
+best (min-time) run executed under the steal budget (default <2%).
+Levels that miss the budget are re-run in fresh sessions (up to
+--max-sessions); if the host never calms, the lowest-steal session is
+kept and the miss is recorded honestly in scaling.json/BASELINE.md.
+
 Two pairs are reported:
 - N=2 → 4N=8: clean regime (≤16 runnable threads on the 32-vCPU host;
   no self-contention) — the apples-to-apples scaling number.
@@ -28,30 +35,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+STEAL_BUDGET_PCT = 2.0  # a run is "calm" when sampled steal is below this
+MAX_SESSIONS = 4  # fresh-JVM retries per level before accepting the best seen
+
 RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pdf_parser_spark.session import get_spark
 from pdf_parser_spark.plans.extract import extract_spans
 
+
+def _steal_counters():
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(s0, s1):
+    if s0 is None or s1 is None or s1[1] <= s0[1]:
+        return None
+    return round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+
+
 spark = get_spark("scaling", master="local[{cpus}]", shuffle_partitions={cpus})
 docs = spark.read.parquet({docs_path!r})
 n_docs = docs.count()
 # first run warms codegen + python worker pool; then best-of-N
 extract_spans(docs).write.format("noop").mode("overwrite").save()
-runs = []
+runs, steals = [], []
 for _ in range(2 if {cpus} <= 2 else 3):
+    s0 = _steal_counters()
     t0 = time.time()
     extract_spans(docs).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))
+    steals.append(_steal_pct(s0, _steal_counters()))
 sec = min(runs)
+steal_at_best = steals[runs.index(sec)]
 print("RESULT::" + json.dumps({{"cpus": {cpus}, "n_docs": n_docs, "runs": runs,
-                                "sec": sec, "docs_per_sec": round(n_docs / sec, 2)}}))
+                                "run_steal_pct": steals, "sec": sec,
+                                "steal_at_best": steal_at_best,
+                                "docs_per_sec": round(n_docs / sec, 2)}}))
 spark.stop()
 """
 
 
 def run_at(docs_path: str, cpus: int) -> dict:
+    """One fresh-JVM session at a given parallelism level."""
     code = RUNNER.format(repo=REPO, docs_path=docs_path, cpus=cpus)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
@@ -60,6 +92,44 @@ def run_at(docs_path: str, cpus: int) -> dict:
         if line.startswith("RESULT::"):
             return json.loads(line[len("RESULT::") :])
     raise RuntimeError(f"bench at {cpus} cpus failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def run_level(
+    docs_path: str,
+    cpus: int,
+    budget: float = STEAL_BUDGET_PCT,
+    max_sessions: int = MAX_SESSIONS,
+) -> dict:
+    """Steal-budgeted level measurement: re-run fresh-JVM sessions until
+    the best run of a session was sampled under the steal budget, then
+    report that session. If no session meets the budget, keep the one
+    whose best run saw the least steal, flagged ``budget_met: false``."""
+    sessions = []
+    for attempt in range(1, max_sessions + 1):
+        r = run_at(docs_path, cpus)
+        r["session"] = attempt
+        sessions.append(r)
+        s = r.get("steal_at_best")
+        print(
+            f"level local[{cpus}] session {attempt}: sec={r['sec']} "
+            f"steal_at_best={s}%",
+            file=sys.stderr,
+        )
+        if s is not None and s < budget:
+            break
+    calm = [r for r in sessions if (r.get("steal_at_best") or 99.0) < budget]
+    pool = calm or sessions
+    best = min(pool, key=lambda r: r["sec"])
+    best = dict(best)
+    best["budget_met"] = bool(calm)
+    best["steal_budget_pct"] = budget
+    best["sessions"] = len(sessions)
+    # keep every session's evidence for the adjudication trail
+    best["all_sessions"] = [
+        {k: r[k] for k in ("session", "sec", "runs", "run_steal_pct", "steal_at_best")}
+        for r in sessions
+    ]
+    return best
 
 
 def build_fixture(n_docs: int) -> str:
@@ -88,7 +158,7 @@ def main():
     if args and args[0] == "run":
         cpus = int(args[1])
         n_docs = int(args[2]) if len(args) > 2 else 48000
-        r = run_at(build_fixture(n_docs), cpus)
+        r = run_level(build_fixture(n_docs), cpus)
         with open(f"/tmp/scaling_result_{cpus}.json", "w") as f:
             json.dump(r, f)
         print(json.dumps(r))
@@ -102,7 +172,11 @@ def main():
         return
     n_docs = int(args[0]) if args else 48000
     docs_path = build_fixture(n_docs)
-    results = {c: run_at(docs_path, c) for c in (2, 8, 32)}
+    results = {}
+    for c in (2, 8, 32):
+        results[c] = run_level(docs_path, c)
+        with open(f"/tmp/scaling_result_{c}.json", "w") as f:
+            json.dump(results[c], f)
     _write_report(results)
 
 
@@ -113,8 +187,14 @@ def _write_report(results: dict):
     e28 = eff(2, 8)
     e832 = eff(8, 32)
 
+    def _fmt_steal(r: dict) -> str:
+        s = r.get("steal_at_best")
+        flag = "" if r.get("budget_met", True) else " ⚠ over budget"
+        return ("n/a" if s is None else f"{s}%") + flag
+
     rows = "\n".join(
-        f"| local[{c}] | {r['sec']:.2f} | {r['docs_per_sec']:.1f} | {r['runs']} |"
+        f"| local[{c}] | {r['sec']:.2f} | {r['docs_per_sec']:.1f} | "
+        f"{_fmt_steal(r)} | {r.get('sessions', 1)} | {r['runs']} |"
         for c, r in results.items()
     )
     md = f"""# BENCH — measured baseline
@@ -129,18 +209,20 @@ pages). Job: the full extraction pipeline in fused
 mode (decode + geometry + flattening in one narrow mapInPandas pass —
 zero shuffles; see plans/extract.py for the cost-based fused/paged
 mode choice). Each level runs in a fresh JVM; reported time is
-best-of-3 after a warm-up run, because this sandbox VM experiences up
-to ~30% hypervisor CPU-steal (visible in `top` as `st`), which makes
-single-shot timings noisy.
+best-of-3 after a warm-up run. Steal-budgeted (r3 VERDICT task 1):
+every timed run samples /proc/stat hypervisor steal around itself and
+a level is accepted only when its best run measured steal <
+{STEAL_BUDGET_PCT}% (re-run in a fresh session up to {MAX_SESSIONS}×
+otherwise — the column below records the accepted run's steal).
 
-| parallelism | wall (s) | docs/s | runs |
-|---|---|---|---|
+| parallelism | wall (s) | docs/s | steal@best | sessions | runs |
+|---|---|---|---|---|---|
 {rows}
 
 | pair | efficiency | regime |
 |---|---|---|
 | local[2] → local[8] | **{e28:.2f}** | clean: ≤16 runnable threads on the 32-vCPU host — the apples-to-apples number (target ≥ 0.8) |
-| local[8] → local[32] | {e832:.2f} | saturated: 32 Python workers + 32 JVM task threads oversubscribe every host vCPU while the hypervisor steals ~20-30% — expected to under-read on this box; on a real 4N-executor cluster the added executors bring their own cores |
+| local[8] → local[32] | **{e832:.2f}** | saturated: 32 Python workers + 32 JVM task threads oversubscribe every host vCPU — under-reads whenever the hypervisor steals cycles; on a real 4N-executor cluster the added executors bring their own cores |
 
 Raw JSON:
 
@@ -173,12 +255,19 @@ document cannot serialize one task.
             tail = old[idx:]
     with open(path, "w") as f:
         f.write(md + tail)
-    summary = {"eff_2_8": round(e28, 3), "eff_8_32": round(e832, 3),
-               "n_docs": results[2]["n_docs"],
-               "thr": {c: r["docs_per_sec"] for c, r in results.items()},
-               "runs": {c: r["runs"] for c, r in results.items()}}
+    summary = {
+        "eff_2_8": round(e28, 3),
+        "eff_8_32": round(e832, 3),
+        "n_docs": results[2]["n_docs"],
+        "steal_budget_pct": STEAL_BUDGET_PCT,
+        "thr": {c: r["docs_per_sec"] for c, r in results.items()},
+        "steal_at_best": {c: r.get("steal_at_best") for c, r in results.items()},
+        "budget_met": {c: r.get("budget_met") for c, r in results.items()},
+        "sessions": {c: r.get("sessions", 1) for c, r in results.items()},
+        "runs": {c: r["runs"] for c, r in results.items()},
+    }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(summary, f)  # bench.py embeds this in the round record
+        json.dump(summary, f)  # bench.py references this by path
     print(json.dumps(summary))
 
 
