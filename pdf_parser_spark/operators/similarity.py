@@ -411,12 +411,18 @@ def ivf_train_kmeans(
     is one broadcast assignment pass (K narrow comparisons per row, no
     shuffle) plus ONE shuffle on (cell, dim) for the mean — the
     centroid state is K×dim rows, lineage truncated per round with
-    localCheckpoint. Deterministic end-to-end: seeded init
-    (:func:`ivf_centroids`), rounded-cosine assignment with centroid-id
-    tie-breaks, and a (pos)-sorted mean reassembly — pinned against a
-    numpy replication in tests (iterative plans are not
-    SQL-oracle-expressible; the gate path uses the untrained seeded
-    centroids, which share every downstream stage).
+    localCheckpoint. Deterministic end-to-end AND order-insensitive
+    (round-3 ADVICE: a plain ``F.avg`` over shuffled doubles varies
+    with partial-aggregation order across partitionings/cluster sizes):
+    the mean is computed as an EXACT decimal(38,12) sum of the
+    half-up-rounded member contributions, cast to double, divided by
+    the member count — every step is order-free, so the trained
+    centroids are bit-identical across partitionings, cluster sizes,
+    and engines. Seeded init (:func:`ivf_centroids`), rounded-cosine
+    assignment with centroid-id tie-breaks, (pos)-sorted mean
+    reassembly; pinned bit-exact against
+    :func:`ivf_train_kmeans_replica` in tests, and the trained-centroid
+    gate (s5) embeds the replica's centroids in its SQL oracle.
 
     Empty cells keep their previous centroid (the standard Lloyd
     degenerate-cell rule). Returns (centroid_id, cvec:array<double>).
@@ -433,7 +439,19 @@ def ivf_train_kmeans(
         )
         means = (
             ex.groupBy("cell", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            # exact decimal sum (order-insensitive; doubles rounded
+            # half-up to 12 dp first, Spark's double→decimal cast) →
+            # double, then ONE float64 division — replicated
+            # IEEE-op-for-IEEE-op in ivf_train_kmeans_replica
+            .agg(
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cell",
+                "pos",
+                (F.col("_s").cast("double") / F.col("_n")).alias("m"),
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_a"))
             .select(
@@ -449,4 +467,69 @@ def ivf_train_kmeans(
             )
             .localCheckpoint()
         )
+    return cents
+
+
+def ivf_train_kmeans_replica(
+    vectors: dict, n_centroids: int = 8, iterations: int = 2
+) -> dict:
+    """Single-machine, IEEE-op-exact replication of
+    :func:`ivf_train_kmeans` — the pinning oracle for the distributed
+    trainer (tests assert bit-identical centroids) and the source of
+    the trained-centroid literals embedded in the s5 gate's SQL oracle.
+
+    Exactness contract, step by step against the Spark plan:
+    - seeded init: same salted md5 ordering as :func:`ivf_centroids`;
+    - assignment: cosine in float64, rounded half-up to 6 dp exactly as
+      Spark's ``F.round`` on doubles (``BigDecimal.decimal(d)`` =
+      shortest decimal string = Python ``repr``), ties → smaller id;
+    - mean: each member contribution rounded half-up to 12 dp (Spark's
+      double→decimal(38,12) cast), summed EXACTLY (Python Decimal ↔
+      Spark decimal aggregation — both order-insensitive), converted to
+      float64, divided by the member count in float64.
+
+    ``vectors``: ``{id: sequence-of-floats}`` (no None values — drop
+    unembedded rows first, as the gate does with ``isNotNull``).
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def seed_hash(vid) -> int:
+        return int(hashlib.md5(f"ivf:{vid}".encode()).hexdigest()[:15], 16)
+
+    def round_half_up(x: float, exp: Decimal) -> Decimal:
+        return Decimal(repr(float(x))).quantize(exp, ROUND_HALF_UP)
+
+    SIX = Decimal("1e-6")
+    TWELVE = Decimal("1e-12")
+
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in vectors.items()}
+    init_ids = sorted(vecs, key=lambda i: (seed_hash(i), i))[:n_centroids]
+    cents = {vid: vecs[vid].copy() for vid in init_ids}
+
+    def cos6(a: np.ndarray, b: np.ndarray) -> float:
+        raw = float(a @ b) / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b)))
+        return float(round_half_up(raw, SIX))
+
+    for _ in range(iterations):
+        members: dict = {cid: [] for cid in cents}
+        for vid, v in vecs.items():
+            best = min((-cos6(v, cv), cid) for cid, cv in cents.items())[1]
+            members[best].append(v)
+        new_cents = {}
+        for cid, vs in members.items():
+            if not vs:
+                new_cents[cid] = cents[cid]  # empty-cell carry-over
+                continue
+            dim = vs[0].shape[0]
+            out = np.empty(dim, dtype=np.float64)
+            for d in range(dim):
+                s = sum(
+                    (round_half_up(v[d], TWELVE) for v in vs), Decimal(0)
+                )
+                out[d] = float(s) / len(vs)
+            new_cents[cid] = out
+        cents = new_cents
     return cents

@@ -22,8 +22,11 @@ Layout (round-2 fixes from the round-1 review):
   different group_size can orphan stale ones; both are invisible to
   readers now. Resume also deletes unmarked group directories before
   reprocessing, keeping the layout clean.
-- A ``_meta.json`` records ``n_buckets``; resuming with a different
-  value raises instead of silently mis-bucketing.
+- A ``_meta.json`` records ``n_buckets``, ``group_size``, and a
+  full-row content fingerprint of the input; resuming with a different
+  value raises instead of silently mis-bucketing, letting an
+  uncommitted group escape compensation, or extracting a stale staged
+  snapshot of an edited input.
 
 Production mapping: the marker table is Iceberg snapshot metadata
 (each group commit = one snapshot carrying the bucket list as a
@@ -77,11 +80,14 @@ def _markers(out_dir: str) -> dict[str, dict]:
 
 
 def _input_fingerprint(docs: DataFrame) -> dict:
-    """Cheap content fingerprint of the input table: row count, id
-    range, and an order-insensitive id-hash sum. Guards resumes against
-    a DIFFERENT/updated input silently extracting from the stale staged
-    snapshot (round-2 ADVICE: _SUCCESS gated staging reuse, but nothing
-    checked the input still matched)."""
+    """CONTENT fingerprint of the input table: row count, id range, an
+    order-insensitive id-hash sum, and an order-insensitive FULL-ROW
+    hash sum over every column (round-3 ADVICE: the id-only fields miss
+    the exact scenario the guard targets — same doc_ids, edited spans).
+    Guards resumes against a DIFFERENT/updated input silently
+    extracting from the stale staged snapshot. One input scan; decimal
+    sums because a long sum of xxhash64 overflows under ANSI."""
+    cols = sorted(docs.columns)
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("lo"),
@@ -90,16 +96,31 @@ def _input_fingerprint(docs: DataFrame) -> dict:
             F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("ch"),
     ).collect()[0]
     return {
         "n_docs": row["n"],
         "min_doc_id": row["lo"],
         "max_doc_id": row["hi"],
         "id_hash_sum": str(row["h"]),
+        "content_hash_sum": str(row["ch"]),
     }
 
 
-def _check_meta(out_dir: str, n_buckets: int, fingerprint: dict) -> None:
+def _check_meta(
+    out_dir: str, n_buckets: int, group_size: int, fingerprint: dict
+) -> None:
+    """Create or validate the checkpoint's ``_meta.json``. Pins
+    ``n_buckets`` (bucket assignment shifts otherwise), ``group_size``
+    (an uncommitted Iceberg append from a crashed run with a different
+    group_size would carry a ``_group`` name outside the new pending
+    set and escape compensation — round-3 ADVICE), and the input
+    fingerprint. Metas written before a field existed are BACKFILLED on
+    first resume (the legacy fields must still match first), so the
+    guard arms itself instead of staying permanently disabled."""
     meta_path = os.path.join(out_dir, "_progress", "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -109,18 +130,45 @@ def _check_meta(out_dir: str, n_buckets: int, fingerprint: dict) -> None:
                 f"resume with n_buckets={n_buckets} but checkpoint was written "
                 f"with n_buckets={meta['n_buckets']}; bucket assignment would shift"
             )
-        recorded = meta.get("input_fingerprint")
-        if recorded is not None and recorded != fingerprint:
+        if meta.get("group_size") is not None and meta["group_size"] != group_size:
             raise ValueError(
-                "resume input does not match the staged snapshot "
-                f"(recorded {recorded}, got {fingerprint}); delete the "
-                "checkpoint directory to reprocess the new input, or pass "
-                "the original input to finish the interrupted run"
+                f"resume with group_size={group_size} but checkpoint was written "
+                f"with group_size={meta['group_size']}; an uncommitted group "
+                "from the interrupted run could escape compensation — resume "
+                "with the original group_size (or delete the checkpoint "
+                "directory to start over)"
             )
+        recorded = meta.get("input_fingerprint")
+        if recorded is not None:
+            # legacy metas lack content_hash_sum: compare the fields it
+            # did record, then backfill the full fingerprint below
+            comparable = {k: fingerprint[k] for k in recorded if k in fingerprint}
+            if recorded != comparable:
+                raise ValueError(
+                    "resume input does not match the staged snapshot "
+                    f"(recorded {recorded}, got {comparable}); delete the "
+                    "checkpoint directory to reprocess the new input, or pass "
+                    "the original input to finish the interrupted run"
+                )
+        backfilled = dict(meta)
+        backfilled["group_size"] = meta.get("group_size", group_size)
+        backfilled["input_fingerprint"] = fingerprint
+        if backfilled != meta:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(backfilled, f)
+            os.replace(tmp, meta_path)
     else:
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_buckets": n_buckets, "input_fingerprint": fingerprint}, f)
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "group_size": group_size,
+                    "input_fingerprint": fingerprint,
+                },
+                f,
+            )
         os.replace(tmp, meta_path)
 
 
@@ -193,7 +241,7 @@ def extract_with_checkpoint(
     if sink is None:
         sink = ParquetDirSink(out_dir)
     os.makedirs(os.path.join(out_dir, "_progress"), exist_ok=True)
-    _check_meta(out_dir, n_buckets, _input_fingerprint(docs))
+    _check_meta(out_dir, n_buckets, group_size, _input_fingerprint(docs))
     removed = _clean_uncommitted(out_dir, sink)
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]

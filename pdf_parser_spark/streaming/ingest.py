@@ -12,10 +12,15 @@ file-source stream via ``foreachBatch``:
   changelog / a landing bucket.
 - per micro-batch: the SAME extraction plan as batch mode (fused) —
   no separate code path to drift.
-- sink: append parquet (prod: Iceberg `.writeTo(...).append()`),
-  exactly-once via the streaming checkpoint (source offsets + batch id
-  commit log), which is the streaming analogue of
-  streaming/checkpoint.py's partition markers.
+- sink: one parquet directory PER MICRO-BATCH ID, written with
+  overwrite (prod: Iceberg `.writeTo(...).append()` with a
+  compensation delete on the replayed batch id) — ``foreachBatch`` can
+  REPLAY a batch whose write finished but whose offset commit didn't
+  (crash in between), and a plain append would duplicate that batch's
+  rows; overwriting ``batch_id=N`` is idempotent under replay, making
+  the sink exactly-once end-to-end, not just at the offset log.
+  Readers use :func:`read_ingested` (or read the root and drop the
+  discovered ``batch_id`` partition column).
 
 No watermarks/windows are needed: extraction is per-document
 (stateless across documents), so late data is just a later
@@ -52,7 +57,10 @@ def start_ingest(
         if batch_df.isEmpty():
             return
         out = extract_spans(batch_df, sections=sections, mode="fused")
-        out.write.mode("append").parquet(out_dir)
+        # idempotent under foreachBatch replay: a crash between this
+        # write and the offset commit re-runs the SAME batch_id, and
+        # overwrite replaces rather than duplicates its rows
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -60,3 +68,9 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_ingested(spark: SparkSession, out_dir: str):
+    """Read the ingested span table (all batches); drops the
+    ``batch_id`` partition column that directory discovery adds."""
+    return spark.read.parquet(out_dir).drop("batch_id")

@@ -101,10 +101,14 @@ class IcebergTableSink:
     atomic ``writeTo(table).append()`` (an Iceberg snapshot commit).
     Group membership travels in a ``_group`` column so a replayed group
     can be compensated (``DELETE WHERE _group = ...`` then re-append)
-    and committed-group reads are a partition-pruned filter — declare
-    the table partitioned by ``_group`` (and ``bucket(N, doc_id)``) at
-    creation. The first write creates the table (``createOrReplace``
-    never runs against an existing table — append raises first)."""
+    and committed-group reads are a partition-pruned filter. The first
+    write creates the table partitioned by ``_group`` (compensation
+    deletes and group reads then partition-prune; add
+    ``bucket(N, doc_id)`` by pre-creating the table for read-side
+    pruning too). Existence is checked via the catalog — never by
+    catching an append failure, which would mask real append errors
+    (schema drift, permissions, transients) behind a confusing
+    create-time message (round-3 ADVICE)."""
 
     kind = "iceberg"
 
@@ -120,16 +124,18 @@ class IcebergTableSink:
         return df.withColumn("_group", F.lit(group_name))
 
     def write_group(self, df: DataFrame, group_name: str) -> None:
+        from pyspark.sql import functions as F
+
         out = self._with_group(df, group_name)
-        writer = out.writeTo(self.table)
-        try:
-            writer.append()
-        except Exception:
-            # table does not exist yet: create it from this first group.
-            # (A replayed group re-running after a crash between append
+        if out.sparkSession.catalog.tableExists(self.table):
+            # a replayed group re-running after a crash between append
             # and marker commit is handled by the caller deleting the
-            # uncommitted group first — see checkpoint._clean_uncommitted.)
-            out.writeTo(self.table).using("iceberg").create()
+            # uncommitted group first — see checkpoint._clean_uncommitted
+            out.writeTo(self.table).append()
+        else:
+            out.writeTo(self.table).using("iceberg").partitionedBy(
+                F.col("_group")
+            ).create()
 
     def delete_group(self, spark: SparkSession, group_name: str) -> None:
         """Compensation delete for an uncommitted append; a missing

@@ -441,8 +441,77 @@ def test_ivf_topk_probes_cells_and_ranks(spark):
         assert lists[r["vec_id"]] in probed[r["query_id"]]
 
 
+def test_jaccard_auto_guard_default_on(spark):
+    """max_bucket_rows defaults to 'auto' (round-3 VERDICT task 5): a
+    length-UNIFORM corpus above the floor trips the guard with NO
+    caller opt-in — the naive caller no longer gets a silent N² bucket
+    join — while max_bucket_rows=None remains the documented opt-out."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.dedup import (
+        auto_bucket_bound,
+        length_band_buckets,
+        release_shingle_caches,
+    )
+
+    # the computed bound: 5000-row floor, 32·√N above it
+    assert auto_bucket_bound(100) == 5000
+    assert auto_bucket_bound(4_000_000) == 64_000
+    assert auto_bucket_bound(0) == 5000
+
+    n = 5200  # above the floor → the single uniform band exceeds it
+    docs = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    sh = word_shingles(docs, "text", 3)
+    buckets = length_band_buckets(F.size("shingles"), 0.5)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        jaccard_pairs(sh, "doc_id", "shingles", buckets, 0.5)
+    release_shingle_caches()
+    # explicit opt-out skips the guard entirely (asserted on a small
+    # uniform corpus — the point is the None path, not the N² join)
+    small = spark.createDataFrame(
+        [(f"s{i}", "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sh_small = word_shingles(small, "text", 3)
+    pairs = jaccard_pairs(
+        sh_small,
+        "doc_id",
+        "shingles",
+        length_band_buckets(F.size("shingles"), 0.5),
+        0.5,
+        max_bucket_rows=None,
+    )
+    assert pairs.count() == 20 * 19 // 2
+    release_shingle_caches()
+
+
+def test_session_cache_registry_bounded(spark):
+    """Outside a shingle_cache_scope the session registry is BOUNDED:
+    registering beyond the cap auto-unpersists the oldest cache, so a
+    long-lived session importing the pair builders directly can never
+    accumulate pinned storage (round-3 VERDICT task 4 — the grow-only
+    module-global default is gone)."""
+    from pdf_parser_spark.operators import dedup as D
+
+    D.release_shingle_caches()
+    docs = spark.createDataFrame(
+        [(f"b{i}", f"w{i} x{i} y{i} z{i} common words here {i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(docs, "text", 3)
+    for _ in range(4):
+        minhash_lsh_pairs(sh, "doc_id", "shingles", 12, 4, 0.5).count()
+    with D._SHINGLE_LOCK:
+        n_live = len(D._SHINGLE_CACHES)
+    assert n_live <= D._MAX_SESSION_CACHES
+    assert D.release_shingle_caches() == n_live
+
+
 def test_jaccard_pairs_bucket_guard(spark):
-    """The opt-in max_bucket_rows valve: a length-uniform corpus piles
+    """The explicit max_bucket_rows valve: a length-uniform corpus piles
     every doc into the same band — the guard names the bucket and
     recommends LSH instead of launching the quadratic join."""
     import pyspark.sql.functions as F
@@ -467,17 +536,20 @@ def test_jaccard_pairs_bucket_guard(spark):
     release_shingle_caches()
 
 
-def test_ivf_kmeans_matches_numpy_lloyd(spark):
-    """The distributed Lloyd trainer must reproduce a single-machine
-    numpy replication exactly: same seeded init, same rounded-cosine
-    assignment with centroid-id tie-break, same element-wise mean,
-    same empty-cell carry-over."""
+def test_ivf_kmeans_matches_replica_bitexact(spark):
+    """The distributed Lloyd trainer must reproduce the single-machine
+    exact replica BIT-FOR-BIT: same seeded init, same rounded-cosine
+    assignment with centroid-id tie-break, same order-insensitive
+    decimal-exact mean, same empty-cell carry-over. Bit-exactness (not
+    atol) is what lets the s5 gate embed the replica's centroids in
+    its SQL oracle — and it's only possible because the Spark mean is
+    an exact decimal sum, immune to partial-aggregation order
+    (round-3 ADVICE on the former F.avg)."""
     import numpy as np
-    import pyspark.sql.functions as F
 
     from pdf_parser_spark.operators.similarity import (
-        ivf_centroids,
         ivf_train_kmeans,
+        ivf_train_kmeans_replica,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -485,28 +557,29 @@ def test_ivf_kmeans_matches_numpy_lloyd(spark):
     got = {r["centroid_id"]: np.array(r["cvec"])
            for r in ivf_train_kmeans(emb, "vec_id", "embedding", K, ITERS).collect()}
 
-    # numpy replication
-    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
-            for r in emb.collect()}
-    init = {r["centroid_id"]: np.array(r["cvec"], dtype=np.float64)
-            for r in ivf_centroids(emb, "vec_id", "embedding", K).collect()}
-    cents = dict(init)
-
-    def cos(a, b):
-        return round(float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6)
-
-    for _ in range(ITERS):
-        members: dict[int, list] = {c: [] for c in cents}
-        for vid, v in vecs.items():
-            best = min(
-                ((-cos(v, cv), cid) for cid, cv in cents.items())
-            )[1]  # max cosine, tie -> smaller centroid_id
-            members[best].append(v)
-        cents = {
-            cid: (np.mean(vs, axis=0) if vs else cents[cid])
-            for cid, vs in members.items()
-        }
+    vectors = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    cents = ivf_train_kmeans_replica(vectors, K, ITERS)
 
     assert set(got) == set(cents)
     for cid in got:
-        np.testing.assert_allclose(got[cid], cents[cid], rtol=0, atol=1e-9)
+        np.testing.assert_array_equal(got[cid], cents[cid])
+
+
+def test_ivf_kmeans_partitioning_invariant(spark):
+    """Order-insensitivity evidence: the trained centroids are
+    bit-identical whether the corpus arrives in 1 partition or 13
+    shuffled ones (the exact failure mode of an F.avg-based mean)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators.similarity import ivf_train_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["centroid_id"]: r["cvec"]
+         for r in ivf_train_kmeans(emb.coalesce(1), "vec_id", "embedding", 4, 2).collect()}
+    scrambled = emb.repartition(13, F.col("vec_id"))
+    b = {r["centroid_id"]: r["cvec"]
+         for r in ivf_train_kmeans(scrambled, "vec_id", "embedding", 4, 2).collect()}
+    assert set(a) == set(b)
+    for cid in a:
+        np.testing.assert_array_equal(np.array(a[cid]), np.array(b[cid]))
