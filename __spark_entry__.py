@@ -289,6 +289,38 @@ FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_w14_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window`` — the
+    streaming-native twin of w11's custom ``applyInPandasWithState``
+    operator (round-3 VERDICT task 8). Semantics, pinned empirically by
+    tests/test_streaming_sessions.py: the built-in treats the gap as a
+    CLOSED interval — an event exactly ``gap`` after its predecessor
+    still MERGES (adjacent [t, t+gap) windows coalesce) — which is
+    identical to the custom operator's strict ``> gap`` session break,
+    so w14 shares w11's lag+cumsum oracle. The built-in therefore
+    suffices for plain gap sessions; the custom state fn remains for
+    non-window state machines (mid-session emission, per-key budgets,
+    cross-field state) the built-in can't express.
+    ``session_window.end`` is last-event + gap, so the last event time
+    is ``end − gap``."""
+    gap_us = 1_800_000_000
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        _us("session_window.start").alias("session_start_us"),
+        (_us("session_window.end") - F.lit(gap_us)).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
+# identical to _W11_SQL (strict > gap break): the built-in's closed-
+# interval boundary behavior matches the custom operator exactly
+_W14_SQL = _W11_SQL
+
+
 def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     top = topk_per_group(
@@ -936,12 +968,15 @@ def q_s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_COS = ("round(list_dot_product({a}, {b}) / "
             "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
 
-_S4_SQL = f"""
+
+def _ivf_sql(cent_cte: str) -> str:
+    """Shared IVF oracle skeleton: assignment, inverted lists, nprobe
+    probing, in-list exact-cosine rank — parameterized by the coarse-
+    quantizer CTE (s4: seeded id-hash sample re-derived in SQL; s5:
+    trained-centroid literals from the exact Lloyd replica)."""
+    return f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT centroid_id, cvec FROM (
-    SELECT vec_id AS centroid_id, v AS cvec,
-           CAST(concat('0x', substr(md5(concat('ivf:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-    FROM c) ORDER BY h, centroid_id LIMIT 8),
+{cent_cte},
 asg AS (SELECT vec_id, v, cell FROM (
     SELECT c.vec_id, c.v, cent.centroid_id AS cell,
            row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -961,6 +996,63 @@ r AS (SELECT query_id, vec_id,
 SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk
 """
 
+
+_S4_SQL = _ivf_sql(
+    """cent AS (SELECT centroid_id, cvec FROM (
+    SELECT vec_id AS centroid_id, v AS cvec,
+           CAST(concat('0x', substr(md5(concat('ivf:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM c) ORDER BY h, centroid_id LIMIT 8)"""
+)
+
+
+def q_s5_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF path with a TRAINED coarse quantizer: Lloyd k-means
+    training (ivf_train_kmeans — seeded init, rounded-cosine
+    assignment, order-insensitive decimal-exact means) feeding the same
+    inverted-list/probe/rank stages as s4. The oracle embeds the
+    centroid literals computed by ivf_train_kmeans_replica — pinned
+    bit-identical to the distributed trainer — so train→assign→probe is
+    value-checked end-to-end (round-3 VERDICT task 7: the s4 gate only
+    covered the untrained quantizer)."""
+    from pdf_parser_spark.operators.similarity import ivf_topk, ivf_train_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    trained = ivf_train_kmeans(emb, "vec_id", "embedding", n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id", "qv",
+        k=3, nprobe=2, centroids=trained,
+    )
+    return out.orderBy("query_id", "rk")
+
+
+def _s5_sql() -> str:
+    """Oracle for the trained-centroid IVF gate: runs the exact Lloyd
+    replica (no Spark) on the sf0.01 embeddings and embeds the trained
+    centroids as DOUBLE[] literals (``repr`` = shortest round-trip
+    decimal, parsed back to the identical float64)."""
+    import pandas as pd
+
+    from pdf_parser_spark.operators.similarity import ivf_train_kmeans_replica
+
+    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vectors = {
+        int(vid): emb
+        for vid, emb in zip(pdf["vec_id"], pdf["embedding"])
+        if emb is not None
+    }
+    cents = ivf_train_kmeans_replica(vectors, n_centroids=8, iterations=2)
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in cv)}])"
+        for cid, cv in sorted(cents.items())
+    )
+    cent = (
+        "cent AS (SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec "
+        f"FROM (VALUES {rows}) AS t(centroid_id, cvec))"
+    )
+    return _ivf_sql(cent)
 
 
 def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,6 +1216,35 @@ def _x1_oracle_sql(sf: str) -> str:
     )
 
 
+def q_x2_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest loop, value-gated (round-3 VERDICT task 6):
+    the interleaved corpus is laid down as parquet files, consumed by
+    the real ``readStream → foreachBatch(extract_spans) → per-batch-id
+    idempotent parquet sink`` pipeline (availableNow trigger, 2 files
+    per micro-batch → multiple batches through the offset log), and the
+    SINK contents are compared against the same committed golden
+    parquet as x1 — proving the continuous path emits byte-identical
+    spans to the batch path, not just 'some rows'."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.streaming.ingest import read_ingested, start_ingest
+
+    _ship_package(spark)
+    base = tempfile.mkdtemp(prefix="x2_stream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _interleaved_docs(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(src)
+    q = start_ingest(spark, src, out, ckpt, max_files_per_trigger=2)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("x2 ingest stream did not drain within 600 s")
+    return (
+        read_ingested(spark, out)
+        .select("doc_id", "kind", "text", "media_ref", "order")
+        .orderBy("doc_id", "order")
+    )
+
+
 def q_m3_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize / frame-sample feature extraction over binary payloads
     (kind alternates image/video by doc parity to exercise both
@@ -1172,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_stateful_sessions": q_w11_stateful_sessions,
         "w12_windowed_counts": q_w12_windowed_counts,
         "w13_sliding_counts": q_w13_sliding_counts,
+        "w14_session_window": q_w14_session_window,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
         "a8_consecutive_dedup": q_a8_consecutive_dedup,
@@ -1197,12 +1319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
         "s4_ivf_ann": q_s4_ivf_ann,
+        "s5_ivf_trained": q_s5_ivf_trained,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "k1_kmv_distinct": q_k1_kmv_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "m3_media_transform": q_m3_media_transform,
         "x1_extract_spans": q_x1_extract_spans,
+        "x2_stream_extract": q_x2_stream_extract,
     }
 
 
@@ -1213,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "w11_stateful_sessions": _W11_SQL,
         "w12_windowed_counts": _W12_SQL,
         "w13_sliding_counts": _W13_SQL,
+        "w14_session_window": _W14_SQL,
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
         "a8_consecutive_dedup": _A8_SQL,
@@ -1238,12 +1363,16 @@ def oracle_sql() -> dict[str, str]:
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),
         "s4_ivf_ann": _S4_SQL,
+        "s5_ivf_trained": _s5_sql(),
         "d5_embedding_neardup": _D5_SQL,
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         "m3_media_transform": _M3_SQL,
-        # x1: geometry is non-SQL; the oracle reads the committed golden
-        # computed by the pure-Python reference oracle (full value parity)
+        # x1/x2: geometry is non-SQL; the oracle reads the committed
+        # golden computed by the pure-Python reference oracle (full
+        # value parity); x2 runs the same corpus through the STREAMING
+        # ingest loop, so the identical golden pins stream ≡ batch
         "x1_extract_spans": _x1_oracle_sql("sf0.01"),
+        "x2_stream_extract": _x1_oracle_sql("sf0.01"),
     }

@@ -122,22 +122,31 @@ def _steal_pct(s0, s1) -> float | None:
 
 
 def _scaling_evidence() -> dict:
-    """Latest two-parallelism scaling measurement (tools/bench_scaling.py
-    writes it; measured fresh-JVM best-of-3 on the skewed corpus — too
-    slow to recompute inside every bench run). Carries the north-rule
-    two-cluster-size evidence into the per-round BENCH record."""
+    """COMPACT pointer to the two-parallelism scaling measurement
+    (tools/bench_scaling.py writes BENCH/scaling.json; fresh-JVM,
+    steal-budgeted — too slow to recompute inside every bench run).
+    Round-3 VERDICT: embedding the full scaling+native payloads pushed
+    the final JSON line past the driver's tail capture and broke the
+    machine-readable contract — so only the headline efficiencies ride
+    along; the bulky evidence stays in BENCH/ files, referenced by
+    path."""
     here = os.path.dirname(os.path.abspath(__file__))
-    out = {}
+    out: dict = {}
     path = os.path.join(here, "BENCH", "scaling.json")
     if os.path.exists(path):
         with open(path) as f:
-            out["scaling"] = json.load(f)
-    # paged+native throughput (tools/bench_native.py): the real-kernel
-    # decode path, incl. the skewed-corpus fused/paged crossover
-    npath = os.path.join(here, "BENCH", "native.json")
-    if os.path.exists(npath):
-        with open(npath) as f:
-            out["native"] = json.load(f)
+            s = json.load(f)
+        out["scaling"] = {
+            "eff_2_8": s.get("eff_2_8"),
+            "eff_8_32": s.get("eff_8_32"),
+            "steal_at_best": s.get("steal_at_best"),
+            "budget_met": s.get("budget_met"),
+            "file": "BENCH/scaling.json",
+        }
+    if os.path.exists(os.path.join(here, "BENCH", "native.json")):
+        # paged+native throughput (tools/bench_native.py): the
+        # real-kernel decode path incl. the fused/paged skew crossover
+        out["native_file"] = "BENCH/native.json"
     return out
 
 
@@ -202,4 +211,15 @@ def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, cpus)))
+    result = run_bench(sf_dir, cpus)
+    # driver contract: ONE compact JSON object as the VERY LAST stdout
+    # line (round-3 VERDICT: the embedded payloads outgrew the driver's
+    # tail capture → BENCH_r03.json "parsed": null). Self-verify the
+    # line round-trips and stays within a conservative tail window.
+    line = json.dumps(result, separators=(",", ":"))
+    assert json.loads(line) == result, "bench JSON does not round-trip"
+    assert "\n" not in line, "bench JSON must be a single line"
+    assert len(line) < 4000, f"bench JSON line too long ({len(line)} bytes)"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line)

@@ -22,6 +22,7 @@ SUBSET = [
     "w1_sessionize",
     "w11_stateful_sessions",
     "w12_windowed_counts",
+    "w14_session_window",
     "j1_priority_dedupe",
     "j3_nearest_assign",
     "e3_completeness",

@@ -95,3 +95,64 @@ def test_batch_replay_matches_window_sessionize(spark):
     }
     assert got == exp
     assert (7, 0, 3_200_000, 9) in got and (8, 5, 5, 1) in got
+
+
+def _builtin_sessions(spark, ev, gap_us: int):
+    """Gap sessions via Spark's built-in session_window (the w14 gate's
+    plan shape), projected to the same (user_id, start, last-event,
+    n_events) tuple the custom operator emits."""
+    import pyspark.sql.functions as F
+
+    evt = ev.withColumn("ts", F.expr("timestamp_micros(us)"))
+    agg = evt.groupBy(F.session_window("ts", f"{gap_us} microseconds"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return {
+        tuple(r)
+        for r in agg.select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias("session_start_us"),
+            (F.expr("unix_micros(session_window.end)") - gap_us).alias("session_end_us"),
+            "n_events",
+        ).collect()
+    }
+
+
+def test_session_window_twin_matches_custom_off_boundary(spark):
+    """w14 (built-in session_window) ≡ w11 (custom state fn) whenever
+    no inter-event gap equals the threshold EXACTLY — the regime real
+    corpora live in, and why the built-in suffices for plain gap
+    sessionization."""
+    from pdf_parser_spark.streaming.sessions import batch_replay_sessions
+
+    rows = [(7, i * 400_000) for i in range(9)] + [(7, 20_000_000)]
+    rows += [(8, 5)]
+    rows += [(9, 0), (9, 100_000), (9, 200_000), (9, 9_000_000), (9, 9_100_000)]
+    ev = spark.createDataFrame(rows, "user_id long, us long")
+
+    got_builtin = _builtin_sessions(spark, ev, GAP_US)
+    got_custom = {
+        tuple(r) for r in batch_replay_sessions(ev, GAP_US, n_waves=3).collect()
+    }
+    assert got_builtin == got_custom
+
+
+def test_session_window_boundary_semantics_match(spark):
+    """Boundary pin (measured, not assumed): an event EXACTLY ``gap``
+    after its predecessor MERGES under the built-in too — Spark
+    coalesces the adjacent [t, t+gap) windows — matching the custom
+    state fn's strict ``> gap`` break. This is why w14 shares w11's
+    lag+cumsum oracle verbatim; were the built-in half-open, the two
+    would diverge on exact-boundary ties."""
+    from pdf_parser_spark.streaming.sessions import batch_replay_sessions
+
+    ev = spark.createDataFrame(
+        [(1, 0), (1, GAP_US), (1, 3 * GAP_US + 1)], "user_id long, us long"
+    )
+    got_builtin = _builtin_sessions(spark, ev, GAP_US)
+    got_custom = {
+        tuple(r) for r in batch_replay_sessions(ev, GAP_US, n_waves=1).collect()
+    }
+    expected = {(1, 0, GAP_US, 2), (1, 3 * GAP_US + 1, 3 * GAP_US + 1, 1)}
+    assert got_builtin == expected
+    assert got_custom == expected

@@ -11,8 +11,9 @@ the OCR binding is the deterministic pixel-key simulator, so the only
 fake step is character recognition itself — decode, preprocess, and
 match are the shipped kernels).
 
-Writes BENCH/native.json (embedded into the bench JSON line by
-bench.py, like scaling.json) and prints one JSON line.
+Writes BENCH/native.json (referenced BY PATH from the bench JSON
+line — round-3 VERDICT: embedding the payload broke the driver's
+tail-capture contract) and prints one JSON line.
 
 Usage: python tools/bench_native.py [n_docs] [cpus]
 """
