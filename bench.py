@@ -150,6 +150,31 @@ def _scaling_evidence() -> dict:
     return out
 
 
+def _recover_from_tail(tail: str) -> dict | None:
+    """Salvage (queries, sf, cpus, timing_method) from a driver round
+    record whose JSON line failed the driver's own parse (the record
+    keeps the raw stdout tail, possibly truncated mid-line at the
+    front). The queries object is flat name→seconds, so a non-greedy
+    brace match is exact."""
+    import re
+
+    m = re.search(r'"queries":\s*\{([^{}]*)\}', tail)
+    if not m:
+        return None
+    try:
+        out: dict = {"queries": json.loads("{" + m.group(1) + "}")}
+    except ValueError:
+        return None
+    for key, cast in (("sf", float), ("cpus", int)):
+        km = re.search(rf'"{key}":\s*([0-9.]+)', tail)
+        if km:
+            out[key] = cast(km.group(1))
+    tm = re.search(r'"timing_method":\s*"([^"]+)"', tail)
+    if tm:
+        out["timing_method"] = tm.group(1)
+    return out
+
+
 def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = None) -> dict:
     """Per-query deltas vs the most recent BENCH_r{N}.json (driver
     round record): negative pct = faster this round; queries slower by
@@ -169,7 +194,14 @@ def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = 
         return {}
     with open(os.path.join(here, rounds[-1])) as f:
         prev = json.load(f)
-    prev = prev.get("parsed", prev)  # driver records wrap the JSON line
+    if "parsed" in prev:  # driver records wrap the JSON line
+        # BENCH_r03.json carries parsed:null (the oversized r3 line
+        # outgrew the driver's tail capture) — recover the fields the
+        # delta comparison needs from the raw tail text rather than
+        # crashing or silently dropping round-over-round tracking
+        prev = prev["parsed"] or _recover_from_tail(prev.get("tail") or "")
+    if not isinstance(prev, dict):
+        return {}
     prev_q = prev.get("queries") or {}
     deltas = {
         name: round((sec - prev_q[name]) / prev_q[name] * 100.0, 1)
