@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators import (
+    asof_join,
+    bucketed_range_join,
     consecutive_dedup,
     interval_containment_join,
     lead_bound,
@@ -29,6 +31,7 @@ from pdf_parser_spark.operators import (
     topk_per_group,
 )
 from pdf_parser_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -52,6 +55,7 @@ from pdf_parser_spark.operators.textstats import (
     language_id_oracle_sql,
     rolling_fingerprint,
     text_profile,
+    top_tokens,
 )
 
 
@@ -1286,6 +1290,158 @@ FROM scaled s JOIN frames f USING (media_id) ORDER BY s.media_id
 """
 
 
+def q_w15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union-tag + running last, ONE shuffle on
+    user_id — no inequality join): each purchase event gets the most
+    recent prior-or-equal click's id and value; ties on ts break
+    toward the larger click id; purchases with no prior click keep
+    NULLs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", _us("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", F.col("us").alias("c_us")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "us",
+        "c_us",
+        payload=["event_id", "value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("click_id"),
+        F.round("value_r", 2).alias("click_value"),
+    ).orderBy("user_id", "purchase_id")
+
+
+_W15_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       round(c.value, 2) AS click_value
+FROM e p
+LEFT JOIN LATERAL (
+  SELECT event_id, value FROM e c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.us <= p.us
+  ORDER BY c.us DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, purchase_id
+"""
+
+
+def q_o2_range_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band theta-join planned as an equi-join (bucketed_range_join:
+    left explodes to 3 buckets of width=radius, right keeps its one
+    bucket, exact band filter post-join): events within ±60 s of each
+    error event, counted per error; zero-neighbor errors reinstated by
+    a left join back onto the error set."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _us("ts").alias("us")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("us").alias("err_us")
+    )
+    oth = ev.select(
+        "user_id",
+        F.col("event_id").alias("o_id"),
+        F.col("event_type").alias("o_type"),
+        F.col("us").alias("o_us"),
+    )
+    pairs = bucketed_range_join(err, oth, ["user_id"], "err_us", "o_us", 60_000_000)
+    agg = (
+        pairs.filter(F.col("o_id") != F.col("err_id"))
+        .groupBy("user_id", "err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(F.when(F.col("o_type") == "click", 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("o_type") == "view", 1).otherwise(0)).alias("n_view"),
+        )
+    )
+    return (
+        err.join(agg, ["user_id", "err_id"], "left")
+        .select(
+            "user_id",
+            F.col("err_id").alias("event_id"),
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+            F.coalesce("n_click", F.lit(0)).cast("bigint").alias("n_click"),
+            F.coalesce("n_view", F.lit(0)).cast("bigint").alias("n_view"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_O2_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT er.user_id, er.event_id,
+       CAST(count(o.event_id) AS BIGINT) AS n_neighbors,
+       CAST(coalesce(sum(CASE WHEN o.event_type = 'click' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_click,
+       CAST(coalesce(sum(CASE WHEN o.event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_view
+FROM e er LEFT JOIN e o
+  ON o.user_id = er.user_id AND o.event_id <> er.event_id
+ AND abs(er.us - o.us) <= 60000000
+WHERE er.event_type = 'error'
+GROUP BY er.user_id, er.event_id
+ORDER BY er.user_id, er.event_id
+"""
+
+
+def q_d8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: corpus docs (source<>'src0')
+    sharing at least one word 4-gram with the benchmark set
+    (source='src0'), with the count of distinct shared grams. The
+    benchmark gram set is broadcast; corpus text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return (
+        decontaminate(corpus, bench, "doc_id", "text", n=4)
+        .select("doc_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+_D8_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT DISTINCT array_to_string(w[i::BIGINT:(i+3)::BIGINT], ' ') AS gram
+       FROM (SELECT w FROM toks WHERE source = 'src0') t,
+            LATERAL (SELECT unnest(range(1, len(t.w) - 2)) AS i) r),
+dg AS (SELECT DISTINCT doc_id, array_to_string(w[i::BIGINT:(i+3)::BIGINT], ' ') AS gram
+       FROM (SELECT doc_id, w FROM toks WHERE source <> 'src0') t,
+            LATERAL (SELECT unnest(range(1, len(t.w) - 2)) AS i) r)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM dg JOIN bg USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_t5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-20 token frequencies (vocabulary heavy
+    hitters): map-side partial agg absorbs head-token skew, one
+    shuffle on token, TakeOrdered top-k; count ties break toward the
+    smaller token."""
+    docs = _t(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", k=20).orderBy("rk")
+
+
+_T5_SQL = """
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token) t
+WHERE rk <= 20 ORDER BY rk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -1294,8 +1450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w12_windowed_counts": q_w12_windowed_counts,
         "w13_sliding_counts": q_w13_sliding_counts,
         "w14_session_window": q_w14_session_window,
+        "w15_asof_join": q_w15_asof_join,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
+        "o2_range_neighbors": q_o2_range_neighbors,
         "a8_consecutive_dedup": q_a8_consecutive_dedup,
         "j1_priority_dedupe": q_j1_priority_dedupe,
         "j2_interval_containment": q_j2_interval_containment,
@@ -1315,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_dedup_clusters": q_d6_dedup_clusters,
         "d7_cluster_star": q_d7_cluster_star,
         "d4_simhash": q_d4_simhash,
+        "d8_decontaminate": q_d8_decontaminate,
+        "t5_top_tokens": q_t5_top_tokens,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -1338,8 +1498,10 @@ def oracle_sql() -> dict[str, str]:
         "w12_windowed_counts": _W12_SQL,
         "w13_sliding_counts": _W13_SQL,
         "w14_session_window": _W14_SQL,
+        "w15_asof_join": _W15_SQL,
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
+        "o2_range_neighbors": _O2_SQL,
         "a8_consecutive_dedup": _A8_SQL,
         "j1_priority_dedupe": _J1_SQL,
         "j2_interval_containment": _J2_SQL,
@@ -1359,6 +1521,8 @@ def oracle_sql() -> dict[str, str]:
         "d6_dedup_clusters": _D6_SQL,
         "d7_cluster_star": _D6_SQL,  # components are algorithm-invariant
         "d4_simhash": _simhash_sql(16),
+        "d8_decontaminate": _D8_SQL,
+        "t5_top_tokens": _T5_SQL,
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

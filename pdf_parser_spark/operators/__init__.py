@@ -16,6 +16,8 @@ from pdf_parser_spark.operators.windows import (  # noqa: F401
     topk_per_group,
 )
 from pdf_parser_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    bucketed_range_join,
     interval_containment_join,
     nearest_assign,
     priority_dedupe,

@@ -563,6 +563,42 @@ def dedup_clusters(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark n-gram decontamination: for every corpus document
+    sharing at least one word n-gram with the benchmark set, return
+    ``(id_col, n_shared)`` where ``n_shared`` counts the distinct
+    shared n-grams (the training-data hygiene step that keeps eval
+    benchmarks out of the training corpus).
+
+    Scale posture: the benchmark side is collapsed to its DISTINCT
+    gram set and BROADCAST — a benchmark is thousands-to-millions of
+    grams regardless of corpus size, so the 100-TB corpus side never
+    shuffles text: it streams through explode → broadcast-hash-semi →
+    one groupBy on (id, matched grams only). Grams per document are
+    already distinct (``word_shingles`` dedups per row), so the final
+    count is a plain ``count``, not ``countDistinct``.
+    """
+    bg = (
+        word_shingles(benchmark, text_col, n, "_grams")
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+    )
+    dg = word_shingles(docs, text_col, n, "_grams").select(
+        id_col, F.explode("_grams").alias("gram")
+    )
+    return (
+        dg.join(F.broadcast(bg), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per word token w, h(w) = md5_long(w); bit j
     of the fingerprint is 1 iff sum over tokens of ±1 (by bit j of

@@ -64,6 +64,96 @@ def nearest_assign(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tie_col: str | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the ``payload``
+    columns of the most recent right row with ``right_ts <= left_ts``
+    (strictly ``<`` when ``allow_exact_matches=False``) within the same
+    ``on`` group. Ties on ``right_ts`` are broken toward the largest
+    ``tie_col`` (which must be one of ``payload``) so the result is
+    deterministic under any partitioning.
+
+    Scale posture: union-tag + running ``last(ignorenulls)`` — ONE
+    shuffle on the ``on`` keys and a single sort within each group. No
+    inequality join, so no per-left candidate explosion and no range
+    re-partitioning: the cost is O(|left|+|right|) rows through one
+    exchange, independent of how many right rows precede each left row
+    (an inequality-join plan degrades to per-key cross products on hot
+    keys; this form cannot). Left rows with no prior right row keep
+    NULL payloads (left-join semantics).
+    """
+    left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(p).alias(f"{p}_r") for p in payload],
+    ).withColumn("_asof_side", F.lit(right_side))
+    l2 = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
+        "_asof_side", F.lit(left_side)
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    if tie_col is not None:
+        order.append(F.col(f"{tie_col}_r").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in payload:
+        u = u.withColumn(f"{p}_r", F.last(f"{p}_r", ignorenulls=True).over(w))
+    return u.filter(F.col("_asof_side") == left_side).drop("_asof_side", "_asof_ts")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    radius: int,
+) -> DataFrame:
+    """Symmetric band theta-join: all (left, right) pairs with
+    ``|left_ts - right_ts| <= radius`` sharing ``equi_keys``, planned
+    as an EQUI-join. The left side explodes to its bucket of width
+    ``radius`` plus both neighbors; the right side maps to its single
+    bucket — any pair within the band shares one of the three bucket
+    ids, and exactly one (the right row's own bucket), so no
+    post-join dedup is needed. The exact band predicate runs as a
+    post-join filter.
+
+    Scale posture: 3x fan-out of the (typically narrower) left side
+    buys a hash/sort-merge join on (equi_keys, bucket) instead of a
+    per-key cross product — candidate pairs are bounded by band
+    density, not by key cardinality. Column names other than
+    ``equi_keys`` must be disjoint between the two sides (standard
+    Spark join hygiene). ``radius`` is in the timestamp's own unit and
+    must be a positive integer (bucket ids use exact integer
+    division, no double rounding at epoch-microsecond magnitudes).
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    b = F.expr(f"{right_ts} div {radius}")
+    r2 = right.withColumn("_rj_bucket", b)
+    lb = F.expr(f"{left_ts} div {radius}")
+    l2 = left.withColumn(
+        "_rj_bucket",
+        F.explode(F.array(lb - 1, lb, lb + 1)),
+    )
+    out = l2.join(r2, equi_keys + ["_rj_bucket"], "inner").filter(
+        F.abs(F.col(left_ts) - F.col(right_ts)) <= radius
+    )
+    return out.drop("_rj_bucket")
+
+
 def priority_dedupe(
     df: DataFrame,
     cluster_keys: list[str],

@@ -165,6 +165,35 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Exact corpus-wide top-k token frequencies ``(token, cnt, rk)``
+    — the vocabulary heavy-hitters report (tokenizer health checks,
+    boilerplate detection).
+
+    Scale posture: explode → hash aggregate with map-side partial
+    combine → ONE shuffle keyed on token → global top-k via
+    orderBy+limit (planned as TakeOrdered: each task ships only its
+    local top-k to the driver). Head-token skew is absorbed by the
+    partial aggregate — every task emits at most one row per distinct
+    token, so the shuffle carries O(tasks × vocab), never O(corpus
+    tokens). Ties on count break toward the lexicographically smaller
+    token, so the ranking is deterministic. The rank window runs on
+    the k surviving rows only, never on the full vocabulary.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("token"))
+    return counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
 # rolling polynomial fingerprint over the word-hash stream (Rabin-Karp
 # style): order-sensitive — unlike the md5-of-normalized-text
 # fingerprint, two documents with the same words in different order get
