@@ -1442,6 +1442,61 @@ WHERE rk <= 20 ORDER BY rk
 """
 
 
+def q_t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-token ratio, distinct
+    ratio, top-bigram ratio) as pure row-local expressions — sort the
+    token array, one O(n) fold for the max run; ZERO shuffles/explodes
+    (the oracle's explode→groupBy form shuffles every corpus token)."""
+    from pdf_parser_spark.operators.textstats import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_T6_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id, tok),
+t AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_token_ratio,
+             round(count(*)::DOUBLE / sum(c), 6) AS distinct_ratio
+      FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id, array_to_string(w[i::BIGINT:(i+1)::BIGINT], ' ') AS big
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s,
+            LATERAL (SELECT unnest(range(1, len(s.w))) AS i) r),
+bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, big),
+b AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_ratio
+      FROM bc GROUP BY doc_id)
+SELECT t.doc_id, top_token_ratio, distinct_ratio,
+       coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_t7_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic head-domain cap: at most 10 docs per source,
+    chosen by ascending md5(salt:id) — a pure function of (salt, id),
+    stable under growth of other strata (unlike sample())."""
+    from pdf_parser_spark.operators.textstats import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_cap(docs, ["source"], "doc_id", 10, salt="cap")
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+_T7_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('cap:', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10 ORDER BY source, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -1475,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash": q_d4_simhash,
         "d8_decontaminate": q_d8_decontaminate,
         "t5_top_tokens": q_t5_top_tokens,
+        "t6_repetition": q_t6_repetition,
+        "t7_stratified_cap": q_t7_stratified_cap,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -1523,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash": _simhash_sql(16),
         "d8_decontaminate": _D8_SQL,
         "t5_top_tokens": _T5_SQL,
+        "t6_repetition": _T6_SQL,
+        "t7_stratified_cap": _T7_SQL,
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

@@ -165,6 +165,96 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a
+    SORTED array = the count of the most frequent element. A pure
+    expression fold in O(n) with O(1) state — no explode, no shuffle."""
+    init = F.struct(
+        F.lit(" __none__").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    step = lambda acc, w: F.struct(  # noqa: E731
+        w.alias("prev"),
+        F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style repetition
+    filters that strip boilerplate/spam from a pretraining corpus:
+
+    - ``top_token_ratio``: occurrences of the most frequent token over
+      total tokens;
+    - ``distinct_ratio``: distinct tokens over total tokens;
+    - ``top_bigram_ratio``: occurrences of the most frequent word
+      2-gram over total 2-grams (0.0 for docs with < 2 words).
+
+    Scale posture: pure row-local Catalyst expressions — sort the
+    token array once, then a single O(n) fold finds the max run (=
+    max frequency). Zero shuffles, zero explodes: the corpus streams
+    through a narrow projection, so the operator costs a scan at any
+    scale. (The explode → groupBy(doc, token) alternative shuffles
+    every corpus token; this form shuffles nothing.)
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    nb = F.greatest(n - 1, F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.round(_max_run(F.array_sort(words)) / F.greatest(n, F.lit(1)), 6).alias(
+            "top_token_ratio"
+        ),
+        F.round(F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            F.when(nb > 0, _max_run(F.array_sort(bigrams)) / nb).otherwise(0.0), 6
+        ).alias("top_bigram_ratio"),
+    )
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep at most ``k`` rows
+    per stratum, chosen by ascending ``md5(salt:id)`` — the standard
+    head-domain cap in corpus mixing. The choice is a pure function of
+    (salt, id): stable across runs, engines, cluster sizes and input
+    order, and growing OTHER strata never changes which rows survive a
+    given stratum (unlike ``sample``/``randomSplit``).
+
+    Scale posture: one shuffle on the strata keys into a rank window.
+    The sampling hash is uniform, so stratum size — not hash skew —
+    bounds each task; a pathological hot stratum is the known window
+    caveat (AQE skew handling, or pre-filter with a per-stratum hash
+    threshold from a first aggregate pass, trades a second scan for
+    bounded tasks).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= k)
+        .drop("_cap_rn")
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     """Exact corpus-wide top-k token frequencies ``(token, cnt, rk)``
     — the vocabulary heavy-hitters report (tokenizer health checks,
