@@ -50,18 +50,29 @@ def nearest_assign(
     row minimizing ``distance`` within the same equi-key group
     (reference: label → nearest checkbox by L1 distance,
     /root/reference/extractor.py:894-938; the greedy one-to-one
-    variant lives in the per-doc kernel)."""
+    variant lives in the per-doc kernel).
+
+    Scale posture: the argmin runs as ``min_by`` over a lexicographic
+    (distance, tie_break...) struct — a PARTIAL-aggregatable groupBy,
+    so each task combines its candidate pairs down to one row per left
+    key before the shuffle. The join blow-up (|left| × candidates per
+    equi-key group) never crosses the wire; a window-rank plan would
+    shuffle and sort every candidate pair. ``left_keys`` must identify
+    a left row (the operator's contract), so every surviving column is
+    constant within a group and rides inside the min_by payload.
+    ``tie_break`` should totally order candidates for a deterministic
+    winner; rows with NULL distance are skipped by min_by (they could
+    never win an asc ordering).
+    """
     joined = left.join(right, equi_keys, "inner").withColumn("_dist", distance)
     if max_distance is not None:
         joined = joined.filter(F.col("_dist") <= max_distance)
-    w = Window.partitionBy(*[F.col(k) for k in left_keys]).orderBy(
-        F.col("_dist").asc(), *(tie_break or [])
+    ordering = F.struct(F.col("_dist"), *(tie_break or []))
+    payload = F.struct(*[F.col(c) for c in joined.columns])
+    best = joined.groupBy(*[F.col(k) for k in left_keys]).agg(
+        F.min_by(payload, ordering).alias("_best")
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return best.select("_best.*")
 
 
 def asof_join(
