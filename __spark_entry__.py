@@ -325,6 +325,54 @@ def q_w14_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W14_SQL = _W11_SQL
 
 
+def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-bucket rollup (hypertable-style continuous
+    aggregate, operators/rollup.py): 10min/1h/6h ladder over events
+    where each coarser level RE-AGGREGATES the finer level's partials —
+    raw rows are scanned exactly once. The oracle computes every level
+    DIRECTLY from raw rows, so a green gate proves the re-aggregation
+    (count/sum/min/max composition over exact decimal sums) is
+    bit-identical to direct aggregation at each width."""
+    from pdf_parser_spark.operators.rollup import rollup_time_buckets
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _us("ts").alias("us"), "value"
+    )
+    out = rollup_time_buckets(
+        ev,
+        "us",
+        ["event_type"],
+        "value",
+        [600_000_000, 3_600_000_000, 21_600_000_000],
+    )
+    return out.orderBy("level_us", "bucket_us", "event_type")
+
+
+# each level computed directly from raw rows (NOT from the finer level)
+# — this is the re-aggregation-equivalence check, not a tautology
+_R1_SQL = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                  CAST(value AS DECIMAL(18,6)) AS v, value
+           FROM events),
+lv AS (
+  SELECT CAST(600000000 AS BIGINT) AS level_us,
+         us - us % 600000000 AS bucket_us, event_type,
+         count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value,
+         min(value) AS min_value, max(value) AS max_value
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT CAST(3600000000 AS BIGINT), us - us % 3600000000, event_type,
+         count(*), CAST(sum(v) AS DOUBLE), min(value), max(value)
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT CAST(21600000000 AS BIGINT), us - us % 21600000000, event_type,
+         count(*), CAST(sum(v) AS DOUBLE), min(value), max(value)
+  FROM e GROUP BY 2, 3
+)
+SELECT * FROM lv ORDER BY level_us, bucket_us, event_type
+"""
+
+
 def q_w6_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     top = topk_per_group(
@@ -1506,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_sliding_counts": q_w13_sliding_counts,
         "w14_session_window": q_w14_session_window,
         "w15_asof_join": q_w15_asof_join,
+        "r1_rollup": q_r1_rollup,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
         "o2_range_neighbors": q_o2_range_neighbors,
@@ -1556,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "w13_sliding_counts": _W13_SQL,
         "w14_session_window": _W14_SQL,
         "w15_asof_join": _W15_SQL,
+        "r1_rollup": _R1_SQL,
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
         "o2_range_neighbors": _O2_SQL,
