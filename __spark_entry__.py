@@ -1545,6 +1545,83 @@ WHERE rn <= 10 ORDER BY source, doc_id
 """
 
 
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic PII payload prepended (an email,
+    a phone, an IPv4 derived from doc_id) — the corpus text itself is
+    synthetic word soup with no PII, so the fixture guarantees every
+    pattern fires; the oracle synthesizes the identical payload."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 "),
+        F.col("text"),
+    )
+    return docs.select("doc_id", payload.alias("text"))
+
+
+def q_t8_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4s / phone-shaped numbers → typed
+    placeholder tokens) with per-doc hit counts — a pure Catalyst
+    regexp_replace chain, zero shuffles, RE2-safe patterns (no
+    backtracking blowup on adversarial documents)."""
+    from pdf_parser_spark.operators.textstats import pii_mask
+
+    return pii_mask(_pii_augmented(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def _t8_sql() -> str:
+    from pdf_parser_spark.operators.textstats import pii_mask_oracle_sql
+
+    aug = """
+WITH aug AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || lang ||
+         '.com or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text AS text
+  FROM documents)
+"""
+    return aug + pii_mask_oracle_sql("aug", "doc_id", "text")
+
+
+def q_t9_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents packed into shards whose
+    start offsets are multiples of the budget, in stable doc_id order
+    within 8 independent hash buckets (a global prefix sum would
+    serialize on one task; bucketing makes packing embarrassingly
+    parallel — shard ids are per bucket)."""
+    from pdf_parser_spark.operators.textstats import shard_pack, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count("text").alias("w"))
+    return shard_pack(d, "doc_id", "w", budget=2000, n_buckets=8).orderBy(
+        "doc_id"
+    )
+
+
+def _t9_sql() -> str:
+    from pdf_parser_spark.operators.textstats import shard_pack_oracle_sql
+
+    return shard_pack_oracle_sql(
+        "documents",
+        "doc_id",
+        r"len(regexp_split_to_array(trim(text), '\s+'))",
+        budget=2000,
+        n_buckets=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -1581,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_top_tokens": q_t5_top_tokens,
         "t6_repetition": q_t6_repetition,
         "t7_stratified_cap": q_t7_stratified_cap,
+        "t8_pii_mask": q_t8_pii_mask,
+        "t9_shard_pack": q_t9_shard_pack,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -1632,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "t5_top_tokens": _T5_SQL,
         "t6_repetition": _T6_SQL,
         "t7_stratified_cap": _T7_SQL,
+        "t8_pii_mask": _t8_sql(),
+        "t9_shard_pack": _t9_sql(),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

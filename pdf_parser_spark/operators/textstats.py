@@ -350,6 +350,134 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+# PII redaction patterns, applied in ORDER (emails first so the later
+# numeric patterns never fire inside an address; IPs before phones so a
+# dotted quad is not half-consumed as a phone number). Kept to the
+# regex subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, optional atoms —
+# no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}", "<PHONE>"),
+]
+
+
+def pii_mask(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers — the standard
+    pretraining-corpus PII scrub. Pure Catalyst ``regexp_replace``
+    chain: a narrow linear scan, no shuffle, no Python. Emits per-doc
+    hit counts (counted BEFORE masking) so downstream can route
+    high-PII documents to quarantine instead of just scrubbing them.
+
+    Scale posture: zero-shuffle projection; at 100 TB this is scan-
+    bound and pipelines with whatever scan feeds it. Patterns are
+    RE2-safe (linear-time, no catastrophic backtracking) so a
+    pathological document cannot stall an executor."""
+    masked = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(masked, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        masked = F.regexp_replace(masked, pat, repl)
+    return df.select(F.col(id_col), *counts, masked.alias("masked_text"))
+
+
+def pii_mask_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """The identical scrub in DuckDB SQL, generated from the SAME
+    PII_PATTERNS list (one source, no drift). Counts use the pre-mask
+    text at the same chain position, exactly as the operator does."""
+    masked = text_col
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({masked}, '{pat}')) AS n_{name}"
+        )
+        masked = f"regexp_replace({masked}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT {id_col},
+       {', '.join(count_cols)},
+       {masked} AS masked_text
+FROM {table} ORDER BY {id_col}
+"""
+
+
+def shard_pack(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    budget: int,
+    n_buckets: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic token-budget shard packing (sequence-packing /
+    shard-layout primitive): assign each document to a shard such that
+    shards are filled in stable ``id`` order and every shard's START
+    offset is a multiple of ``budget`` — i.e. ``shard = floor(
+    exclusive-prefix-sum(weight) / budget)``. A shard's total weight
+    can overshoot ``budget`` by at most one document (the standard
+    contiguous-packing bound); assignment is a pure function of
+    (salt, ids, weights): stable across runs, engines, and cluster
+    sizes.
+
+    Scale posture: a GLOBAL prefix sum would serialize on one task, so
+    packing is bucketed — documents are hash-partitioned into
+    ``n_buckets`` independent packing streams (shard ids are per
+    bucket), and the prefix sum runs per bucket: one shuffle, tasks
+    bounded by corpus/n_buckets. At 100 TB, n_buckets scales with the
+    cluster and each bucket's shard sequence is written independently."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.operators.dedup import md5_long
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string"), salt), F.lit(n_buckets))
+    win = Window.partitionBy("bucket").orderBy(id_col)
+    out = df.select(
+        F.col(id_col),
+        bucket.cast("bigint").alias("bucket"),
+        w.cast("bigint").alias("weight"),
+    )
+    prefix = F.coalesce(
+        F.sum("weight").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return out.withColumn(
+        "shard_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    )
+
+
+def shard_pack_oracle_sql(
+    table: str,
+    id_col: str,
+    weight_sql: str,
+    budget: int,
+    n_buckets: int = 16,
+    salt: str = "pack",
+) -> str:
+    """The identical packing in ANSI SQL for the DuckDB oracle.
+    ``weight_sql`` is the weight expression over ``table``'s columns."""
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         CAST(concat('0x', substr(md5(concat('{salt}:', CAST({id_col} AS VARCHAR))), 1, 15))
+              AS BIGINT) % {n_buckets} AS bucket,
+         CAST({weight_sql} AS BIGINT) AS weight
+  FROM {table}),
+p AS (
+  SELECT {id_col}, bucket, weight,
+         coalesce(sum(weight) OVER (PARTITION BY bucket ORDER BY {id_col}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM w)
+SELECT {id_col}, bucket, weight,
+       CAST(floor(prefix / {budget}) AS BIGINT) AS shard_id
+FROM p ORDER BY {id_col}
+"""
+
+
 def hash_split_oracle_sql(table: str, id_col: str, fractions: dict[str, float],
                           salt: str = "split") -> str:
     """The identical assignment in ANSI SQL for the DuckDB oracle."""
