@@ -178,6 +178,70 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_a10_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregate (all 4 grouping sets of
+    returnflag × linestatus) — Spark's native cube() with grouping()
+    flags, one logical pass over lineitem (Catalyst plans the expand +
+    single aggregate; no N separate scans). Sums carried as exact
+    decimals so the grand-total row — a 60k-element sum at sf0.01 —
+    cannot drift from the oracle by float association order. NULL
+    group keys are disambiguated from data NULLs by the grouping
+    flags and coalesced to 'ALL' for a NULL-free compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "g_rf",
+        "g_ls",
+        "n_rows",
+        F.col("_sq").cast("double").alias("sum_qty"),
+    ).orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+
+
+_A10_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+def q_q1_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order-statistic quantiles (p25/p50/p75/p90/p99
+    of extendedprice per returnflag): rank = integer ceil-division
+    (n·q+99) div 100 — no floating-point rank edge cases — via a
+    per-group sort window (sort-based and spill-friendly, unlike the
+    collect-into-one-array exact `percentile` aggregate that OOMs on
+    hot groups)."""
+    from pdf_parser_spark.operators.quantiles import exact_group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [25, 50, 75, 90, 99]
+    ).orderBy("l_returnflag", "q")
+
+
+def _q1_sql() -> str:
+    from pdf_parser_spark.operators.quantiles import (
+        exact_group_quantiles_oracle_sql,
+    )
+
+    return exact_group_quantiles_oracle_sql(
+        "lineitem", ["l_returnflag"], "l_extendedprice", [25, 50, 75, 90, 99]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window family: sessionize (W1/W2), top-k (W6/O4), lead bound (J4/W9),
 # consecutive dedup (A8)
@@ -535,6 +599,44 @@ SELECT o_custkey, o_orderkey FROM (
   SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
   FROM orders) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def q_j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/joins.py:salted_join): orders ⋈
+    customer on custkey with the customer side replicated ×4 and each
+    order salted by xxhash64(o_orderkey) — a hot customer's orders
+    spread over 4 reducers instead of one. The oracle is the PLAIN
+    join: a green gate proves salting is result-invariant (every left
+    row meets each matching right row exactly once, via its own salt's
+    replica). Sums as exact decimal so the compare is association-
+    order-proof."""
+    from pdf_parser_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "custkey", n_salts=4, salt_src="o_orderkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_J10_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
@@ -1184,10 +1286,33 @@ def _s3_sql() -> str:
 
 
 def q_k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV bottom-k distinct sketch per source (deterministic — unlike
-    HLL, exactly replicable in the DuckDB oracle)."""
+    """KMV bottom-k distinct sketch per source (deterministic and
+    exactly replicable in the DuckDB oracle)."""
     docs = _t(spark, sf_dir, "documents")
     return kmv_distinct(docs, "source", "text", k=8).orderBy("source")
+
+
+def q_k2_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (p=8, 256 registers) per event_type
+    over event_id — unlike the engine-native approx_count_distinct
+    sketches (which differ between engines), this one is bit-exactly
+    replicable in the oracle: integer register sums, a single
+    literal/integer division for the estimate. At sf0.01 each group
+    holds ~2000 distinct ids, exercising the RAW estimator branch;
+    the linear-counting branch is pinned by tests/test_hll.py."""
+    from pdf_parser_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("eid")
+    )
+    return hll_distinct(ev, "event_type", "eid", p=8).orderBy("event_type")
+
+
+def _k2_sql() -> str:
+    from pdf_parser_spark.operators.sketches import hll_oracle_sql
+
+    sub = "(SELECT event_type, CAST(event_id AS VARCHAR) AS eid FROM events) e"
+    return hll_oracle_sql(sub, "event_type", "eid", p=8)
 
 
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1750,8 @@ def _t9_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": q_a1_pricing_summary,
+        "a10_cube_agg": q_a10_cube_agg,
+        "q1_exact_quantiles": q_q1_exact_quantiles,
         "w1_sessionize": q_w1_sessionize,
         "w11_stateful_sessions": q_w11_stateful_sessions,
         "w12_windowed_counts": q_w12_windowed_counts,
@@ -1640,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_interval_containment": q_j2_interval_containment,
         "j3_nearest_assign": q_j3_nearest_assign,
         "j8_claimed_anchor": q_j8_claimed_anchor,
+        "j10_salted_join": q_j10_salted_join,
         "e3_completeness": q_e3_completeness,
         "p6_filter_project": q_p6_filter_project,
         "o1_top_orders": q_o1_top_orders,
@@ -1667,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_ivf_trained": q_s5_ivf_trained,
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "k1_kmv_distinct": q_k1_kmv_distinct,
+        "k2_hll_distinct": q_k2_hll_distinct,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "m3_media_transform": q_m3_media_transform,
@@ -1678,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "a1_pricing_summary": _A1_SQL,
+        "a10_cube_agg": _A10_SQL,
+        "q1_exact_quantiles": _q1_sql(),
         "w1_sessionize": _W1_SQL,
         "w11_stateful_sessions": _W11_SQL,
         "w12_windowed_counts": _W12_SQL,
@@ -1693,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
         "j2_interval_containment": _J2_SQL,
         "j3_nearest_assign": _J3_SQL,
         "j8_claimed_anchor": _J8_SQL,
+        "j10_salted_join": _J10_SQL,
         "e3_completeness": _E3_SQL,
         "p6_filter_project": _P6_SQL,
         "o1_top_orders": _O1_SQL,
@@ -1720,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_ivf_trained": _s5_sql(),
         "d5_embedding_neardup": _D5_SQL,
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
+        "k2_hll_distinct": _k2_sql(),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         "m3_media_transform": _M3_SQL,

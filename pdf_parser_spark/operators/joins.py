@@ -165,6 +165,40 @@ def bucketed_range_join(
     return out.drop("_rj_bucket")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int,
+    salt_src: str,
+) -> DataFrame:
+    """Skew-salted inner equi-join: the (smaller) ``right`` side is
+    replicated once per salt value; each ``left`` row computes a
+    deterministic salt from ``salt_src`` (a column that varies WITHIN
+    hot join keys — a row id, not the join key) and joins on
+    ``(on, salt)``. Result set is identical to ``left.join(right, on)``
+    — every left row still meets every matching right row exactly once
+    (via its own salt's replica) — but a hot key's rows now spread
+    across ``n_salts`` shuffle partitions instead of hammering one
+    reducer.
+
+    This is the explicit fallback for when AQE's skew-join splitting
+    can't fire (e.g. the skew is born in the shuffle write, or the
+    join feeds a window that pins partitioning). Replication cost is
+    |right| × n_salts, so it suits dimension-sized right sides; for
+    two large skewed sides, split hot keys out and salt only them.
+    """
+    if n_salts <= 0:
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
+    r2 = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    l2 = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+    return l2.join(r2, [on, "_salt"], "inner").drop("_salt")
+
+
 def priority_dedupe(
     df: DataFrame,
     cluster_keys: list[str],

@@ -33,12 +33,18 @@ def rollup_time_buckets(
     key_cols: list[str],
     value_col: str,
     widths_us: list[int],
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Return the union of all rollup levels with columns
     ``(level_us, bucket_us, *key_cols, n, sum_value, min_value,
     max_value)``. ``widths_us`` must be ascending and each width a
     multiple of the previous one (so finer buckets nest exactly into
-    coarser ones — the precondition for re-aggregation)."""
+    coarser ones — the precondition for re-aggregation).
+
+    ``exact_sums=True`` keeps ``sum_value`` as ``decimal(38,6)``
+    instead of double — the MAINTAINABLE form: partials can be merged
+    again later (``refresh_rollup``) with zero drift. The double form
+    is for final presentation only."""
     if not widths_us:
         raise ValueError("widths_us must be non-empty")
     for a, b in zip(widths_us, widths_us[1:]):
@@ -79,12 +85,55 @@ def rollup_time_buckets(
             .withColumn("level_us", F.lit(w).cast("long"))
         )
     out = reduce(DataFrame.unionByName, levels)
+    sum_out = (
+        F.col("_sum_dec").alias("sum_value")
+        if exact_sums
+        else F.col("_sum_dec").cast("double").alias("sum_value")
+    )
     return out.select(
         "level_us",
         "bucket_us",
         *key_cols,
         "n",
-        F.col("_sum_dec").cast("double").alias("sum_value"),
+        sum_out,
         "min_value",
         "max_value",
+    )
+
+
+def refresh_rollup(
+    levels: DataFrame,
+    delta: DataFrame,
+    ts_us_col: str,
+    key_cols: list[str],
+    value_col: str,
+    widths_us: list[int],
+) -> DataFrame:
+    """Continuous-aggregate maintenance: merge a micro-batch of new raw
+    rows (``delta``) into an existing ``exact_sums=True`` ladder
+    WITHOUT rescanning history. The delta's own (small) ladder is
+    computed, unioned with the existing one, and re-aggregated per
+    (level, bucket, keys) — count/sum/min/max all compose, and the
+    decimal sums make the merge bit-identical to recomputing the full
+    ladder from scratch (pinned by tests/test_rollup.py).
+
+    Scale posture: cost is O(|delta| + touched buckets), independent of
+    history size. In a real deployment the union+re-aggregate becomes a
+    MERGE INTO on the rollup table partitioned by (level_us, time);
+    only delta-touched partitions rewrite. This is the streaming
+    (foreachBatch) half of r1's batch ladder."""
+    d = rollup_time_buckets(
+        delta, ts_us_col, key_cols, value_col, widths_us, exact_sums=True
+    )
+    return (
+        levels.unionByName(d)
+        .groupBy("level_us", "bucket_us", *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select("level_us", "bucket_us", *key_cols, "n", "sum_value",
+                "min_value", "max_value")
     )

@@ -124,6 +124,120 @@ def kmv_distinct(
     )
 
 
+def _hll_consts(p: int) -> tuple[int, int, int, float]:
+    """(m, w_bits, max_rank, alpha·m²·2^max_rank−1 scaling constant).
+    The estimator constant is folded into ONE Python float so both
+    engines evaluate a single literal-over-integer division — no
+    multiplication-association drift."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    w_bits = 60 - p  # md5_long yields 60-bit hashes
+    max_rank = w_bits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # the register sum S carries Σ 2^(max_rank − M_j), i.e. the
+    # harmonic sum scaled by 2^max_rank — the constant must unscale by
+    # the SAME power: E = α·m²·2^max_rank / S
+    c = alpha * m * m * float(1 << max_rank)
+    return m, w_bits, max_rank, c
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007), built from scratch in pure Catalyst so an external oracle
+    reproduces it BIT-EXACTLY (the engine-native
+    ``approx_count_distinct`` sketches differ between engines and
+    can't be value-checked):
+
+    - bucket = low ``p`` bits of the 60-bit md5 hash; rank = leading
+      zeros of the remaining ``60-p`` bits + 1 (via ``length(bin(w))``
+      — integer arithmetic, no log2 float edge cases);
+    - registers = ``max(rank)`` per (group, bucket) — ONE partial-
+      aggregatable groupBy, O(m) state per group;
+    - the harmonic sum is carried as the INTEGER ``Σ 2^(max_rank −
+      reg_j)`` (empty registers contribute ``2^max_rank``), so
+      register-merge order cannot perturb it — the only float ops are
+      one literal/integer division and the small-range linear-counting
+      branch (``m·ln(m/V)`` when the raw estimate ≤ 2.5m and empty
+      registers exist).
+
+    Scale posture: two partial-aggregatable groupBys (the second on
+    ``m·|groups|`` rows); the shuffle carries register rows, never
+    values. Mergeable across shards by taking register-wise max —
+    the standard HLL union."""
+    m, w_bits, max_rank, c = _hll_consts(p)
+    h = md5_long(F.col(value_col))
+    sel = (
+        df.select(F.col(group_col), h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select(
+            group_col,
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+    )
+    rank = F.when(F.col("w") == 0, F.lit(max_rank)).otherwise(
+        F.lit(max_rank) - F.length(F.bin(F.col("w")))
+    )
+    reg = sel.select(group_col, "bucket", rank.alias("rank")).groupBy(
+        group_col, "bucket"
+    ).agg(F.max("rank").alias("mj"))
+    agg = reg.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rank} - mj)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    v = F.lit(m) - F.col("n_present")
+    s = F.col("s_present") + v * F.lit(1 << max_rank)
+    e_raw = F.lit(c) / s
+    est = F.when(
+        (v > 0) & (e_raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        group_col,
+        F.round(est, 2).alias("distinct_est"),
+        s.cast("bigint").alias("register_sum"),
+        v.cast("bigint").alias("empty_registers"),
+    )
+
+
+def hll_oracle_sql(table: str, group_col: str, value_col: str, p: int = 8) -> str:
+    """The identical HLL computation in ANSI SQL for the DuckDB oracle
+    — same bucket split, same integer register sum, same single-
+    division estimator constant."""
+    m, w_bits, max_rank, c = _hll_consts(p)
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         CAST(concat('0x', substr(md5({value_col}), 1, 15)) AS BIGINT) AS h
+  FROM {table} WHERE {value_col} IS NOT NULL),
+b AS (SELECT {group_col}, h % {m} AS bucket, h // {m} AS w FROM h),
+r AS (SELECT {group_col}, bucket,
+             max(CASE WHEN w = 0 THEN {max_rank}
+                      ELSE {max_rank} - length(bin(w)) END) AS mj
+      FROM b GROUP BY 1, 2),
+a AS (SELECT {group_col},
+             sum(CAST(1 AS BIGINT) << ({max_rank} - mj)) AS s_present,
+             count(*) AS n_present
+      FROM r GROUP BY 1),
+f AS (SELECT {group_col},
+             s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {max_rank}) AS s,
+             {m} - n_present AS v
+      FROM a)
+SELECT {group_col},
+       round(CASE WHEN v > 0 AND {c!r} / s <= {2.5 * m}
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE {c!r} / s END, 2) AS distinct_est,
+       CAST(s AS BIGINT) AS register_sum,
+       CAST(v AS BIGINT) AS empty_registers
+FROM f ORDER BY {group_col}
+"""
+
+
 def kmv_oracle_sql(table: str, group_col: str, value_col: str, k: int = 8) -> str:
     """The identical computation in ANSI SQL for the DuckDB oracle."""
     return f"""

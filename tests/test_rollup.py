@@ -73,3 +73,28 @@ def test_row_count_is_sum_of_levels(raw):
 def test_bad_widths_raise(raw, widths):
     with pytest.raises(ValueError):
         rollup_time_buckets(raw, "us", ["key"], "value", widths)
+
+
+def test_incremental_refresh_equals_full_recompute(raw):
+    from pdf_parser_spark.operators.rollup import refresh_rollup
+
+    old = raw.filter(F.col("us") % 5 != 0)
+    delta = raw.filter(F.col("us") % 5 == 0)
+    assert delta.count() > 0 and old.count() > 0
+    base = rollup_time_buckets(old, "us", ["key"], "value", WIDTHS, exact_sums=True)
+    merged = refresh_rollup(base, delta, "us", ["key"], "value", WIDTHS)
+    full = rollup_time_buckets(raw, "us", ["key"], "value", WIDTHS, exact_sums=True)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_refresh_twice_is_associative(raw):
+    from pdf_parser_spark.operators.rollup import refresh_rollup
+
+    a = raw.filter(F.col("us") % 3 == 0)
+    b = raw.filter(F.col("us") % 3 == 1)
+    c = raw.filter(F.col("us") % 3 == 2)
+    ladder = rollup_time_buckets(a, "us", ["key"], "value", WIDTHS, exact_sums=True)
+    ladder = refresh_rollup(ladder, b, "us", ["key"], "value", WIDTHS)
+    ladder = refresh_rollup(ladder, c, "us", ["key"], "value", WIDTHS)
+    full = rollup_time_buckets(raw, "us", ["key"], "value", WIDTHS, exact_sums=True)
+    assert sorted(map(tuple, ladder.collect())) == sorted(map(tuple, full.collect()))
