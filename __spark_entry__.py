@@ -412,6 +412,51 @@ def q_r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("level_us", "bucket_us", "event_type")
 
 
+def q_x3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING continuous-aggregate loop, value-gated: events
+    land as 3 parquet files, the ``readStream → foreachBatch(
+    refresh_rollup) → batch-id-versioned snapshot`` maintenance stream
+    (streaming/rollup_maintenance.py) drains them one file per
+    micro-batch, and the FINAL LADDER is compared against the same
+    direct-from-raw oracle as r1 — proving incremental streamed
+    maintenance emits the exact ladder a full batch recompute would,
+    through the real offset log, not just in a unit test."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.streaming.rollup_maintenance import (
+        read_ladder,
+        start_rollup_maintenance,
+    )
+
+    widths = [600_000_000, 3_600_000_000, 21_600_000_000]
+    base = tempfile.mkdtemp(prefix="x3_rollup_")
+    src, ladder, ckpt = (os.path.join(base, d) for d in ("src", "ladder", "ckpt"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _us("ts").alias("us"), "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    q = start_rollup_maintenance(
+        spark, src, ladder, ckpt,
+        "event_type string, us long, value double",
+        "us", ["event_type"], "value", widths,
+        max_files_per_trigger=1, available_now=True,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("x3 rollup stream did not drain within 600 s")
+    out = read_ladder(spark, ladder)
+    return out.select(
+        "level_us",
+        "bucket_us",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("level_us", "bucket_us", "event_type")
+
+
 # each level computed directly from raw rows (NOT from the finer level)
 # — this is the re-aggregation-equivalence check, not a tautology
 _R1_SQL = """
@@ -1670,6 +1715,24 @@ WHERE rn <= 10 ORDER BY source, doc_id
 """
 
 
+def q_t10_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score per document (add-one
+    smoothing, avg log-probability — the perplexity-style pretraining
+    filter). Per-bigram log-probs quantize to decimal(18,9) before the
+    per-doc average so partial-agg order cannot move the score; count
+    tables join corpus-sublinear."""
+    from pdf_parser_spark.operators.textstats import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _t10_sql() -> str:
+    from pdf_parser_spark.operators.textstats import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql("documents", "doc_id", "text")
+
+
 def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a deterministic PII payload prepended (an email,
     a phone, an IPv4 derived from doc_id) — the corpus text itself is
@@ -1759,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_session_window": q_w14_session_window,
         "w15_asof_join": q_w15_asof_join,
         "r1_rollup": q_r1_rollup,
+        "x3_stream_rollup": q_x3_stream_rollup,
         "w6_topk_per_user": q_w6_topk_per_user,
         "w9_lead_bound": q_w9_lead_bound,
         "o2_range_neighbors": q_o2_range_neighbors,
@@ -1788,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_stratified_cap": q_t7_stratified_cap,
         "t8_pii_mask": q_t8_pii_mask,
         "t9_shard_pack": q_t9_shard_pack,
+        "t10_bigram_lm": q_t10_bigram_lm,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -1816,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "w14_session_window": _W14_SQL,
         "w15_asof_join": _W15_SQL,
         "r1_rollup": _R1_SQL,
+        "x3_stream_rollup": _R1_SQL,  # same direct-from-raw ladder oracle
         "w6_topk_per_user": _W6_SQL,
         "w9_lead_bound": _W9_SQL,
         "o2_range_neighbors": _O2_SQL,
@@ -1845,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "t7_stratified_cap": _T7_SQL,
         "t8_pii_mask": _t8_sql(),
         "t9_shard_pack": _t9_sql(),
+        "t10_bigram_lm": _t10_sql(),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

@@ -21,4 +21,12 @@ from pdf_parser_spark.operators.joins import (  # noqa: F401
     interval_containment_join,
     nearest_assign,
     priority_dedupe,
+    salted_join,
+)
+from pdf_parser_spark.operators.quantiles import (  # noqa: F401
+    exact_group_quantiles,
+)
+from pdf_parser_spark.operators.rollup import (  # noqa: F401
+    refresh_rollup,
+    rollup_time_buckets,
 )

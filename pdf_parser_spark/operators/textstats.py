@@ -350,6 +350,100 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic perplexity-style quality filter (low-probability token
+    sequences ⇒ boilerplate/garbled text): with add-one smoothing,
+
+        score = avg over doc bigrams of  ln( (c(w1,w2)+1) / (c(w1)+V) )
+
+    trained on the corpus itself (c = corpus counts, V = vocabulary
+    size). Docs with fewer than 2 tokens get NULL (no bigrams).
+
+    Cross-engine determinism: each bigram's log-probability is
+    quantized to ``decimal(18,9)`` before the per-doc sum, so the
+    average cannot drift with partial-aggregation order (a raw double
+    sum would); a 1-ulp ``ln`` difference between engines moves the
+    rounded score by ≤1e-9 per bigram — invisible at the 4-decimal
+    output rounding.
+
+    Scale posture: counts are two explode→partial-agg→shuffle passes
+    (shuffles carry one row per distinct token/bigram per task, never
+    the corpus); scoring joins doc bigrams to the count tables on
+    their keys — equi-joins Catalyst can hash/broadcast (vocabulary
+    tables are corpus-sublinear). No Python anywhere."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    doc_bigrams = (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigrams_arr).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+    unigrams = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigrams.select(F.count(F.lit(1)).alias("v")).crossJoin(
+        df.limit(1).select(F.lit(1).alias("_one"))
+    )
+    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    scored = (
+        doc_bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(unigrams.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab.select("v")))
+        .select(
+            id_col,
+            F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            (F.sum("lp") / F.count(F.lit(1))).cast("double"), 4
+        ).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def bigram_lm_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """The identical bigram LM scoring in DuckDB SQL: same single-space
+    tokenization, same add-one smoothing, same decimal(18,9) per-bigram
+    quantization before the per-doc average."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),
+doc_bg AS (
+  SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+  WHERE len(w) >= 2),
+uni AS (
+  SELECT unnest(w) AS tok FROM toks),
+c1 AS (SELECT tok AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM uni),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM doc_bg GROUP BY 1, 2),
+lp AS (
+  SELECT {id_col},
+         CAST(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) AS DECIMAL(18,9)) AS lp
+  FROM doc_bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT {id_col},
+       round(CAST(sum(lp) / count(*) AS DOUBLE), 4) AS lm_score,
+       count(*) AS n_bigrams
+FROM lp GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
 # PII redaction patterns, applied in ORDER (emails first so the later
 # numeric patterns never fire inside an address; IPs before phones so a
 # dotted quad is not half-consumed as a phone number). Kept to the
