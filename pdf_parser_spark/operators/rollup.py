@@ -3,14 +3,16 @@ aggregate): count / sum / min / max at a ladder of bucket widths,
 where every coarser level re-aggregates the next finer level's
 partials instead of rescanning raw data.
 
-Scale posture: the raw table is scanned ONCE (the finest level); each
-coarser level is a groupBy over the previous level's output, whose row
-count is bounded by (time range / width) × key cardinality — typically
-orders of magnitude smaller than the raw table, so the ladder costs
-one full shuffle plus a telescoping series of tiny ones. This is the
-standard continuous-aggregate maintenance shape: at stream time the
-finest level is the only one that touches events, and coarser levels
-refresh from it incrementally.
+Scale posture: the raw table is scanned ONCE and shuffled ONCE (the
+finest level's aggregation); every level — including the finest — is
+then produced by ONE second aggregation over the finest partials,
+exploded into their per-level bucket memberships. Two exchanges total,
+independent of ladder depth. (The naive chained form — each level a
+groupBy over the previous level's DataFrame — lazily RECOMPUTES the
+whole chain per union branch: L raw scans and 2L exchanges in the
+executed plan, which is what tests/test_plan_shapes.py pins against.)
+At stream time the finest level is the only one that touches events,
+and coarser levels refresh from it incrementally (refresh_rollup).
 
 Correctness: count/min/max compose trivially; sums aggregate as exact
 ``decimal(18,6)`` so partial-sum ORDER cannot perturb the result —
@@ -20,8 +22,6 @@ level directly from raw rows).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,11 +56,11 @@ def rollup_time_buckets(
 
     w0 = widths_us[0]
     finest = (
-        df.withColumn("bucket_us", F.expr(f"({ts_us_col} div {w0}) * {w0}"))
-        .groupBy("bucket_us", *key_cols)
+        df.withColumn("_fb", F.expr(f"({ts_us_col} div {w0}) * {w0}"))
+        .groupBy("_fb", *key_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # exact decimal sum: partial-order-insensitive, and union-
+            # exact decimal sum: partial-order-insensitive, and
             # normalized to the widest type Spark's sum-of-decimal
             # reaches so every level carries the same schema
             F.sum(F.col(value_col).cast("decimal(18,6)"))
@@ -70,21 +70,46 @@ def rollup_time_buckets(
             F.max(value_col).alias("max_value"),
         )
     )
-    levels = [finest.withColumn("level_us", F.lit(w0).cast("long"))]
-    for w in widths_us[1:]:
-        prev = levels[-1]
-        levels.append(
-            prev.withColumn("bucket_us", F.expr(f"(bucket_us div {w}) * {w}"))
-            .groupBy("bucket_us", *key_cols)
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("_sum_dec").cast("decimal(38,6)").alias("_sum_dec"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
-            .withColumn("level_us", F.lit(w).cast("long"))
+    # each finest partial belongs to exactly one bucket per level
+    # (widths nest) — explode the memberships and aggregate ONCE.
+    # Fan-out is L × |finest| (post-aggregation, corpus-sublinear),
+    # never L × |raw|.
+    out = (
+        finest.select(
+            *key_cols,
+            "n",
+            "_sum_dec",
+            "min_value",
+            "max_value",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).cast("long").alias("level_us"),
+                            F.expr(f"(_fb div {w}) * {w}").alias("bucket_us"),
+                        )
+                        for w in widths_us
+                    ]
+                )
+            ).alias("_lb"),
         )
-    out = reduce(DataFrame.unionByName, levels)
+        .select(
+            F.col("_lb.level_us").alias("level_us"),
+            F.col("_lb.bucket_us").alias("bucket_us"),
+            *key_cols,
+            "n",
+            "_sum_dec",
+            "min_value",
+            "max_value",
+        )
+        .groupBy("level_us", "bucket_us", *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("_sum_dec").cast("decimal(38,6)").alias("_sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
     sum_out = (
         F.col("_sum_dec").alias("sum_value")
         if exact_sums

@@ -165,9 +165,23 @@ def hll_distinct(
 
     Scale posture: two partial-aggregatable groupBys (the second on
     ``m·|groups|`` rows); the shuffle carries register rows, never
-    values. Mergeable across shards by taking register-wise max —
-    the standard HLL union."""
-    m, w_bits, max_rank, c = _hll_consts(p)
+    values. Mergeable across shards: build register tables per shard
+    with :func:`hll_registers`, union them, and estimate once with
+    :func:`hll_estimate` — the standard HLL union (register-wise max),
+    pinned exactly-equal to the single-pass sketch by test."""
+    return hll_estimate(hll_registers(df, group_col, value_col, p), group_col, p)
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """The sketch STATE: ``(group, bucket, mj)`` — max rank per
+    register. This is the shard-local artifact at 100 TB: each
+    shard/partition/day builds its own register table (O(m) rows per
+    group), tables union with register-wise max (``hll_merge`` is just
+    the same groupBy-max over the union — max is associative and
+    idempotent), and the estimate is computed once at the end."""
+    m, w_bits, max_rank, _ = _hll_consts(p)
     h = md5_long(F.col(value_col))
     sel = (
         df.select(F.col(group_col), h.alias("h"))
@@ -181,9 +195,26 @@ def hll_distinct(
     rank = F.when(F.col("w") == 0, F.lit(max_rank)).otherwise(
         F.lit(max_rank) - F.length(F.bin(F.col("w")))
     )
-    reg = sel.select(group_col, "bucket", rank.alias("rank")).groupBy(
-        group_col, "bucket"
-    ).agg(F.max("rank").alias("mj"))
+    return (
+        sel.select(group_col, "bucket", rank.alias("rank"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("mj"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """HLL union of shard register tables: register-wise max."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, register_tables)
+    gcols = [c for c in u.columns if c not in ("bucket", "mj")]
+    return u.groupBy(*gcols, "bucket").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(reg: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """Estimate from a register table (built by :func:`hll_registers`
+    or merged by :func:`hll_merge`)."""
+    m, w_bits, max_rank, c = _hll_consts(p)
     agg = reg.groupBy(group_col).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rank} - mj)")

@@ -45,6 +45,28 @@ def test_hll_p_validation(card_df):
         hll_distinct(card_df, "g", "v", p=3)
 
 
+def test_hll_shard_merge_equals_single_pass(card_df):
+    """The 100-TB deployment shape: per-shard register tables, unioned
+    with register-wise max, estimated once — must equal the one-pass
+    sketch EXACTLY (same registers → same integers → same estimate)."""
+    from pdf_parser_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    h = F.pmod(F.xxhash64("v"), F.lit(3))
+    shard1 = card_df.filter(h == 0)
+    shard2 = card_df.filter(h == 1)
+    shard3 = card_df.filter(h == 2)
+    merged = hll_merge(
+        *[hll_registers(s, "g", "v", p=8) for s in (shard1, shard2, shard3)]
+    )
+    a = hll_estimate(merged, "g", p=8).collect()
+    b = hll_distinct(card_df, "g", "v", p=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 @pytest.fixture(scope="module")
 def join_sides(spark):
     left = spark.createDataFrame(
