@@ -1360,6 +1360,92 @@ def _k2_sql() -> str:
     return hll_oracle_sql(sub, "event_type", "eid", p=8)
 
 
+def q_k4_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (Beyer et al. 2007): union / Jaccard /
+    intersection estimates between the even-doc and odd-doc token
+    vocabularies, from two bottom-64 sketches — the overlap-report
+    primitive (corpus mixing, shared-vocabulary audits) that never
+    scans either side twice. Accuracy vs exact set sizes is pinned by
+    tests/test_cms.py; the gate pins the estimator cross-engine."""
+    from pdf_parser_spark.operators.sketches import kmv_set_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("v")
+    ).filter(F.col("v") != "")
+    a = toks.filter(F.col("doc_id") % 2 == 0).select("v")
+    b = toks.filter(F.col("doc_id") % 2 == 1).select("v")
+    return kmv_set_ops(a, b, "v", k=64)
+
+
+def _k4_sql() -> str:
+    from pdf_parser_spark.operators.sketches import kmv_setops_oracle_sql
+
+    side = (
+        "SELECT token AS v FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents WHERE doc_id % 2 = {r}) WHERE token <> ''"
+    )
+    return kmv_setops_oracle_sql(side.format(r=0), side.format(r=1), k=64)
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def q_k3_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the exact top-20
+    corpus tokens: the 4×256 integer sketch is built in one explode +
+    partial-agg pass (the shuffle carries ≤ 1024 counter rows per
+    task, never tokens) and point-queried via a broadcast join.
+    CMS never underestimates — pinned by tests/test_cms.py; the gate
+    pins the exact integer counters cross-engine."""
+    from pdf_parser_spark.operators.sketches import cms_build, cms_query
+    from pdf_parser_spark.operators.textstats import top_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    cms = cms_build(tokens, "token", _CMS_DEPTH, _CMS_WIDTH)
+    top = top_tokens(docs, "text", k=20).select(
+        "token", F.col("cnt").alias("true_cnt")
+    )
+    est = cms_query(cms, top.select("token"), "token", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        top.join(est, "token")
+        .select("token", "true_cnt", "est_cnt")
+        .orderBy("token")
+    )
+
+
+def _k3_sql() -> str:
+    def cell(i: int, src: str) -> str:
+        return (
+            f"SELECT {src}token, {i} AS row, "
+            f"CAST(concat('0x', substr(md5(concat('cms{i}:', token)), 1, 15)) "
+            f"AS BIGINT) % {_CMS_WIDTH} AS bucket FROM "
+        )
+
+    build = " UNION ALL ".join(cell(i, "") + "tok" for i in range(_CMS_DEPTH))
+    query = " UNION ALL ".join(cell(i, "") + "top" for i in range(_CMS_DEPTH))
+    return f"""
+WITH tok AS (
+  SELECT token FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''),
+cms AS (
+  SELECT row, bucket, count(*) AS cnt FROM ({build}) GROUP BY 1, 2),
+top AS (
+  SELECT token, true_cnt FROM (
+    SELECT token, count(*) AS true_cnt,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+    FROM tok GROUP BY token) WHERE rk <= 20),
+est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS est_cnt
+  FROM ({query}) cells LEFT JOIN cms USING (row, bucket) GROUP BY 1)
+SELECT token, true_cnt, est_cnt
+FROM top JOIN est USING (token) ORDER BY token
+"""
+
+
 def _payload_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1861,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": q_d5_embedding_neardup,
         "k1_kmv_distinct": q_k1_kmv_distinct,
         "k2_hll_distinct": q_k2_hll_distinct,
+        "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
+        "k4_kmv_setops": q_k4_kmv_setops,
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "m3_media_transform": q_m3_media_transform,
@@ -1920,6 +2008,8 @@ def oracle_sql() -> dict[str, str]:
         "d5_embedding_neardup": _D5_SQL,
         "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
         "k2_hll_distinct": _k2_sql(),
+        "k3_cms_heavy_hitters": _k3_sql(),
+        "k4_kmv_setops": _k4_sql(),
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         "m3_media_transform": _M3_SQL,

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators.dedup import md5_long
@@ -266,6 +266,201 @@ SELECT {group_col},
        CAST(s AS BIGINT) AS register_sum,
        CAST(v AS BIGINT) AS empty_registers
 FROM f ORDER BY {group_col}
+"""
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of ``value_col``
+    frequencies: ``depth`` independent hash rows × ``width`` counters,
+    ``(row, bucket, cnt)``. Point estimate = min over rows of the
+    counter the value hashes to — always ≥ the true count (collisions
+    only ADD), with error ≤ 2N/width at ≥ 1−(1/2)^depth probability.
+
+    Scale posture: one narrow projection fans each value to its
+    ``depth`` (row, bucket) cells, then ONE partial-aggregatable
+    groupBy — the shuffle carries at most depth×width counter rows per
+    task, never values. Sketches merge by adding counters cell-wise
+    (sums are associative), so shard-local sketches union for free.
+    All integer arithmetic — an external oracle reproduces it
+    bit-exactly (unlike sampled/randomized counters)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(md5_long(F.col(value_col), f"cms{i}"), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame, items: DataFrame, value_col: str, depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate the frequency of every row of ``items``: join
+    each item's ``depth`` cells against the (tiny, broadcast) sketch
+    and take the min counter. Items absent from the stream hit
+    counters that may still be non-zero (overestimate-only, never
+    under)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(md5_long(F.col(value_col), f"cms{i}"), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    exploded = items.select(F.col(value_col), F.explode(cells).alias("c")).select(
+        value_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+def cms_oracle_sql(
+    table: str, value_col: str, items_sql: str, depth: int = 4, width: int = 256
+) -> str:
+    """Build + query in ANSI SQL for the DuckDB oracle: identical
+    salted hashes, identical min-over-rows estimate. ``items_sql`` is a
+    subquery yielding the items to estimate (column ``{value_col}``)."""
+    # DuckDB lacks a struct-array explode as terse as Spark's; use a
+    # UNION ALL over the depth hash rows instead (same cells).
+    build_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, CAST(concat('0x', substr(md5(concat('cms{i}:', {value_col})), 1, 15)) AS BIGINT) % {width} AS bucket FROM {table}"
+        for i in range(depth)
+    )
+    query_rows = " UNION ALL ".join(
+        f"SELECT {value_col}, {i} AS row, CAST(concat('0x', substr(md5(concat('cms{i}:', {value_col})), 1, 15)) AS BIGINT) % {width} AS bucket FROM items"
+        for i in range(depth)
+    )
+    return f"""
+WITH cms AS (
+  SELECT row, bucket, count(*) AS cnt FROM ({build_rows}) GROUP BY 1, 2),
+items AS ({items_sql}),
+cells AS ({query_rows})
+SELECT cells.{value_col},
+       min(coalesce(cms.cnt, 0)) AS est_cnt
+FROM cells LEFT JOIN cms USING (row, bucket)
+GROUP BY 1
+"""
+
+
+def _global_bottom_k(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """One-row DataFrame holding the sorted bottom-k distinct hashes of
+    ``value_col`` as an array. ``orderBy().limit(k)`` plans as
+    TakeOrdered — each task ships only its local bottom-k, no global
+    sort shuffle."""
+    bk = (
+        df.select(md5_long(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return bk.agg(F.array_sort(F.collect_list("h")).alias("arr"))
+
+
+def _kmv_est(arr: Column, k: int) -> Column:
+    n = F.size(arr)
+    kth = F.element_at(arr, n)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth / F.lit(HASH_SPACE))
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """Distinct-set algebra from two KMV sketches (Beyer et al. 2007):
+    one row ``(est_a, est_b, est_union, jaccard_est,
+    est_intersection)``.
+
+    - union sketch = bottom-k of the two sketches' union (exactly the
+      sketch of A ∪ B — the KMV closure property);
+    - Jaccard = fraction of union-sketch hashes present in BOTH input
+      sketches (each union-sketch element is a uniform sample of
+      A ∪ B, so membership-in-both estimates |A∩B| / |A∪B|);
+    - intersection = Jaccard × union estimate.
+
+    Scale posture: each sketch is a TakeOrdered bottom-k (no global
+    sort); everything after operates on two ≤k arrays in one row.
+    Deterministic — the DuckDB oracle reproduces it exactly."""
+    a = _global_bottom_k(df_a, value_col, k).select(F.col("arr").alias("a"))
+    b = _global_bottom_k(df_b, value_col, k).select(F.col("arr").alias("b"))
+    row = a.crossJoin(b)
+    u = F.slice(F.array_sort(F.array_union(F.col("a"), F.col("b"))), 1, k)
+    inter_cnt = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(F.col("a"), x)
+            & F.array_contains(F.col("b"), x),
+        )
+    )
+    j = inter_cnt / F.size(u)
+    est_u = _kmv_est(u, k)
+    return row.select(
+        F.round(_kmv_est(F.col("a"), k), 2).alias("est_a"),
+        F.round(_kmv_est(F.col("b"), k), 2).alias("est_b"),
+        F.round(est_u, 2).alias("est_union"),
+        F.round(j, 6).alias("jaccard_est"),
+        F.round(j * est_u, 2).alias("est_intersection"),
+    )
+
+
+def kmv_setops_oracle_sql(a_sql: str, b_sql: str, k: int = 64) -> str:
+    """The identical set-operation estimates in ANSI SQL. ``a_sql`` /
+    ``b_sql`` are subqueries yielding a column ``v``."""
+    def bk(src: str, name: str) -> str:
+        return f"""
+{name}_h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h
+  FROM ({src}) WHERE v IS NOT NULL),
+{name} AS (
+  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM {name}_h)
+  WHERE rn <= {k})"""
+
+    est = (
+        "CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        "ELSE {km1} / (max(h) / {hs}) END"
+    ).format(k=k, km1=float(k - 1), hs=HASH_SPACE)
+    return f"""
+WITH {bk(a_sql, 'abk')},
+{bk(b_sql, 'bbk')},
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM abk UNION SELECT h FROM bbk))
+  WHERE rn <= {k}),
+ea AS (SELECT {est} AS est_a FROM abk),
+eb AS (SELECT {est} AS est_b FROM bbk),
+eu AS (SELECT {est} AS est_union, count(*) AS nu FROM u),
+ix AS (SELECT count(*) AS ni FROM u
+       WHERE h IN (SELECT h FROM abk) AND h IN (SELECT h FROM bbk))
+SELECT round(est_a, 2) AS est_a,
+       round(est_b, 2) AS est_b,
+       round(est_union, 2) AS est_union,
+       round(CAST(ni AS DOUBLE) / nu, 6) AS jaccard_est,
+       round((CAST(ni AS DOUBLE) / nu) * est_union, 2) AS est_intersection
+FROM ea, eb, eu, ix
 """
 
 
