@@ -1801,6 +1801,31 @@ WHERE rn <= 10 ORDER BY source, doc_id
 """
 
 
+def q_t11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis–Spirakis): 50 documents drawn ∝ n_chars, a pure
+    function of (salt, doc_id) — reproducible across engines and
+    cluster sizes; plans as TakeOrdered (no global sort). Proportional-
+    inclusion statistics are pinned by tests/test_weighted_sample.py;
+    the gate pins the exact draw cross-engine."""
+    from pdf_parser_spark.operators.textstats import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50).orderBy("doc_id")
+
+
+def _t11_sql() -> str:
+    from pdf_parser_spark.operators.textstats import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        "(SELECT doc_id, n_chars FROM documents) d",
+        "doc_id",
+        "n_chars",
+        k=50,
+        out_cols="doc_id, n_chars",
+    )
+
+
 def q_t10_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality score per document (add-one
     smoothing, avg log-probability — the perplexity-style pretraining
@@ -1939,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_pii_mask": q_t8_pii_mask,
         "t9_shard_pack": q_t9_shard_pack,
         "t10_bigram_lm": q_t10_bigram_lm,
+        "t11_weighted_sample": q_t11_weighted_sample,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -2000,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "t8_pii_mask": _t8_sql(),
         "t9_shard_pack": _t9_sql(),
         "t10_bigram_lm": _t10_sql(),
+        "t11_weighted_sample": _t11_sql(),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

@@ -572,6 +572,65 @@ FROM p ORDER BY {id_col}
 """
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, A-ES): each row draws ``u = (md5_long(salt:id)+1)
+    / 2^60 ∈ (0,1]`` and is ranked by ``ln(u)/w`` descending (the
+    log-space form of ``u^(1/w)``); the top-k ranks are the sample.
+    Inclusion probability is proportional to weight, and the draw is a
+    pure function of (salt, id): reproducible across runs, engines and
+    cluster sizes — change ``salt`` for a fresh sample. Rows with
+    non-positive weight are excluded (they'd never be drawn).
+
+    This is the quality-weighted corpus-mixing primitive (sample
+    pretraining documents ∝ quality score) that ``sample()`` can't do
+    reproducibly and :func:`stratified_cap` can't do proportionally.
+
+    Scale posture: ``orderBy().limit(k)`` plans as TakeOrdered — each
+    task ships only its local top-k to the driver; no global sort
+    shuffle. One linear scan total."""
+    from pdf_parser_spark.operators.dedup import md5_long
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (md5_long(F.col(id_col).cast("string"), salt) + 1) / F.lit(float(1 << 60))
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_ws_key", key)
+        .orderBy(F.col("_ws_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_ws_key")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    id_col: str,
+    weight_sql: str,
+    k: int,
+    salt: str = "ws",
+    out_cols: str = "*",
+) -> str:
+    """The identical A-ES draw in ANSI SQL for the DuckDB oracle."""
+    return f"""
+SELECT {out_cols} FROM (
+  SELECT *,
+         ln((CAST(concat('0x', substr(md5(concat('{salt}:', CAST({id_col} AS VARCHAR))), 1, 15))
+              AS BIGINT) + 1) / {float(1 << 60)!r}) / ({weight_sql}) AS _ws_key
+  FROM {table} WHERE ({weight_sql}) > 0
+  ORDER BY _ws_key DESC, {id_col} LIMIT {k})
+ORDER BY {id_col}
+"""
+
+
 def hash_split_oracle_sql(table: str, id_col: str, fractions: dict[str, float],
                           salt: str = "split") -> str:
     """The identical assignment in ANSI SQL for the DuckDB oracle."""
