@@ -16,21 +16,34 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# cheap-but-representative subset: one per operator family
+# cheap-but-representative subset: one per operator family, plus every
+# round-4 gate (x3 excluded: its streaming loop is pinned by
+# test_rollup_maintenance and it costs ~15 s per run)
 SUBSET = [
     "a1_pricing_summary",
+    "a10_cube_agg",
+    "q1_exact_quantiles",
     "w1_sessionize",
     "w11_stateful_sessions",
     "w12_windowed_counts",
     "w14_session_window",
     "j1_priority_dedupe",
     "j3_nearest_assign",
+    "j10_salted_join",
     "e3_completeness",
     "f4_flex_match",
     "d1_exact_dedup",
     "d4_simhash",
     "s1_cosine_topk",
     "m1_media_metadata_sql",
+    "r1_rollup",
+    "k2_hll_distinct",
+    "k3_cms_heavy_hitters",
+    "k4_kmv_setops",
+    "t8_pii_mask",
+    "t9_shard_pack",
+    "t10_bigram_lm",
+    "t11_weighted_sample",
 ]
 
 
