@@ -1726,6 +1726,38 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_d9_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level fuzzy dedup: document pairs sharing ≥1 fingerprint
+    of a 20-token passage sampled every 10 tokens — catches shared
+    SUBSTRINGS (mirrored sections, quote farms) that whole-document
+    dedup misses. Content-blocked join; boilerplate fingerprints
+    (> 50 docs) dropped structurally before the self-join."""
+    from pdf_parser_spark.operators.dedup import passage_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dup_pairs(
+        docs, "doc_id", "text", width=20, stride=10, min_shared=1,
+        max_fp_docs=50,
+    ).orderBy("id_a", "id_b")
+
+
+_D9_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(array_to_string(w[i::BIGINT:(i+19)::BIGINT], ' ')), 1, 15))
+              AS BIGINT) AS fp
+  FROM (SELECT doc_id, w FROM toks WHERE len(w) >= 20) t,
+       LATERAL (SELECT unnest(range(1, len(t.w) - 19 + 1, 10)) AS i) r),
+ok AS (SELECT fp FROM p GROUP BY fp HAVING count(*) <= 50),
+pp AS (SELECT p.doc_id, p.fp FROM p JOIN ok USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 1
+ORDER BY 1, 2
+"""
+
+
 def q_t5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide top-20 token frequencies (vocabulary heavy
     hitters): map-side partial agg absorbs head-token skew, one
@@ -1958,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_cluster_star": q_d7_cluster_star,
         "d4_simhash": q_d4_simhash,
         "d8_decontaminate": q_d8_decontaminate,
+        "d9_passage_dedup": q_d9_passage_dedup,
         "t5_top_tokens": q_t5_top_tokens,
         "t6_repetition": q_t6_repetition,
         "t7_stratified_cap": q_t7_stratified_cap,
@@ -2020,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "d7_cluster_star": _D6_SQL,  # components are algorithm-invariant
         "d4_simhash": _simhash_sql(16),
         "d8_decontaminate": _D8_SQL,
+        "d9_passage_dedup": _D9_SQL,
         "t5_top_tokens": _T5_SQL,
         "t6_repetition": _T6_SQL,
         "t7_stratified_cap": _T7_SQL,

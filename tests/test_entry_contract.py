@@ -44,6 +44,7 @@ SUBSET = [
     "t9_shard_pack",
     "t10_bigram_lm",
     "t11_weighted_sample",
+    "d9_passage_dedup",
 ]
 
 
