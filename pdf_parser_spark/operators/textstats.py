@@ -367,11 +367,13 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rounded score by ≤1e-9 per bigram — invisible at the 4-decimal
     output rounding.
 
-    Scale posture: counts are two explode→partial-agg→shuffle passes
-    (shuffles carry one row per distinct token/bigram per task, never
-    the corpus); scoring joins doc bigrams to the count tables on
-    their keys — equi-joins Catalyst can hash/broadcast (vocabulary
-    tables are corpus-sublinear). No Python anywhere."""
+    Scale posture: the exploded bigram stream is derived ONCE — its
+    corpus count c(w1,w2) comes from a window count over the same
+    partitioning rather than a groupBy + self-join (which would lazily
+    re-derive the whole exploded stream: one extra corpus scan +
+    explode, caught in the round-4 `.explain` audit). Unigram counts
+    and vocabulary size are corpus-sublinear tables joined on their
+    keys. No Python anywhere."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     bigrams_arr = F.transform(
@@ -387,21 +389,20 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
 
+    from pyspark.sql import Window
+
     unigrams = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = unigrams.select(F.count(F.lit(1)).alias("v")).crossJoin(
-        df.limit(1).select(F.lit(1).alias("_one"))
-    )
-    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
-    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        doc_bigrams.join(bigram_counts, ["w1", "w2"])
+        doc_bigrams.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
         .join(unigrams.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(F.broadcast(vocab.select("v")))
+        .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
