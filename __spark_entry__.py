@@ -1808,6 +1808,25 @@ FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_t12_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter cascade: (doc_id, reason, keep) where
+    reason is the FIRST failing rule (length → word-length → stopword
+    → repetition → diversity) and keep is 1/0 — the decision a corpus
+    build executes, composed from the t1/t6 gate-proven signals. Pure
+    row-local expressions: zero shuffles, zero explodes; the oracle
+    SQL is generated from the same thresholds (one source, no drift)."""
+    from pdf_parser_spark.operators.textstats import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _t12_sql() -> str:
+    from pdf_parser_spark.operators.textstats import quality_filter_oracle_sql
+
+    return quality_filter_oracle_sql("documents", "doc_id", "text")
+
+
 def q_t7_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic head-domain cap: at most 10 docs per source,
     chosen by ascending md5(salt:id) — a pure function of (salt, id),
@@ -1998,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_shard_pack": q_t9_shard_pack,
         "t10_bigram_lm": q_t10_bigram_lm,
         "t11_weighted_sample": q_t11_weighted_sample,
+        "t12_quality_filter": q_t12_quality_filter,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -2061,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_shard_pack": _t9_sql(),
         "t10_bigram_lm": _t10_sql(),
         "t11_weighted_sample": _t11_sql(),
+        "t12_quality_filter": _t12_sql(),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

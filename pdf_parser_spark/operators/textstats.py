@@ -202,6 +202,19 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scale. (The explode → groupBy(doc, token) alternative shuffles
     every corpus token; this form shuffles nothing.)
     """
+    cols = _repetition_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        cols["top_token_ratio"].alias("top_token_ratio"),
+        cols["distinct_ratio"].alias("distinct_ratio"),
+        cols["top_bigram_ratio"].alias("top_bigram_ratio"),
+    )
+
+
+def _repetition_cols(text_col: str) -> dict[str, Column]:
+    """The three repetition ratios as reusable row-local expressions
+    (shared by repetition_profile and quality_filter so the gate and
+    the cascade can never drift)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     bigrams = F.transform(
@@ -209,18 +222,135 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
     )
     nb = F.greatest(n - 1, F.lit(0))
-    return df.select(
-        F.col(id_col),
-        F.round(_max_run(F.array_sort(words)) / F.greatest(n, F.lit(1)), 6).alias(
-            "top_token_ratio"
+    return {
+        "top_token_ratio": F.round(
+            _max_run(F.array_sort(words)) / F.greatest(n, F.lit(1)), 6
         ),
-        F.round(F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1)), 6).alias(
-            "distinct_ratio"
+        "distinct_ratio": F.round(
+            F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1)), 6
         ),
-        F.round(
+        "top_bigram_ratio": F.round(
             F.when(nb > 0, _max_run(F.array_sort(bigrams)) / nb).otherwise(0.0), 6
-        ).alias("top_bigram_ratio"),
+        ),
+    }
+
+
+# C4/Gopher-style filter-cascade thresholds. One source of truth: the
+# Spark cascade and the generated DuckDB oracle both read THESE values,
+# so the two engines cannot drift on a threshold.
+QUALITY_FILTER_DEFAULTS: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 5000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_stopword_ratio": 0.015,
+    "max_top_token_ratio": 0.25,
+    "max_top_bigram_ratio": 0.18,
+    "min_distinct_ratio": 0.3,
+}
+
+# fixed adjudication order: the FIRST failing rule names the reason,
+# so downstream corpus accounting (why did we drop X% of domain D?) is
+# stable under threshold tuning of later rules
+QUALITY_FILTER_ORDER = [
+    "too_short", "too_long", "word_len", "low_stopword",
+    "repetitive_token", "repetitive_bigram", "low_diversity",
+]
+
+
+def quality_filter(
+    df: DataFrame, id_col: str, text_col: str, **overrides: float
+) -> DataFrame:
+    """The pretraining keep/drop decision (C4 + Gopher rule cascade):
+    ``(id, reason, keep)`` where ``reason`` is the first failing rule
+    in QUALITY_FILTER_ORDER ('ok' when the document survives) and
+    ``keep`` is 1/0. Composes the gate-proven signals — token count /
+    mean word length / stopword ratio (t1 semantics, whitespace-regexp
+    tokens) and the three repetition ratios (t6 semantics,
+    single-space tokens) — into the decision a corpus build actually
+    executes; everything upstream only *scores*.
+
+    Scale posture: pure row-local Catalyst expressions, zero shuffles
+    and zero explodes — the corpus streams through one narrow
+    projection, so filtering costs a scan at any corpus size. All
+    ratios round to 6 dp before comparison, so the classification is
+    bit-identical across engines (the same convention the t1/t6 gates
+    prove value-exact).
+    """
+    th = {**QUALITY_FILTER_DEFAULTS, **overrides}
+    unknown = set(th) - set(QUALITY_FILTER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown quality_filter thresholds: {sorted(unknown)}")
+    n = token_count(text_col)
+    stop = stopword_ratio(text_col)
+    mwl = mean_word_len(text_col)
+    rep = _repetition_cols(text_col)
+    reason = (
+        F.when(n < th["min_tokens"], "too_short")
+        .when(n > th["max_tokens"], "too_long")
+        .when(
+            (mwl < th["min_mean_word_len"]) | (mwl > th["max_mean_word_len"]),
+            "word_len",
+        )
+        .when(stop < th["min_stopword_ratio"], "low_stopword")
+        .when(rep["top_token_ratio"] > th["max_top_token_ratio"], "repetitive_token")
+        .when(rep["top_bigram_ratio"] > th["max_top_bigram_ratio"], "repetitive_bigram")
+        .when(rep["distinct_ratio"] < th["min_distinct_ratio"], "low_diversity")
+        .otherwise("ok")
     )
+    return df.select(F.col(id_col), reason.alias("reason")).withColumn(
+        "keep", F.when(F.col("reason") == "ok", 1).otherwise(0).cast("bigint")
+    )
+
+
+def quality_filter_oracle_sql(
+    table: str, id_col: str, text_col: str, **overrides: float
+) -> str:
+    """The identical cascade in DuckDB SQL, generated from the SAME
+    QUALITY_FILTER_DEFAULTS and rule order (one source, no drift).
+    Signal expressions are copied from the t1/t6 oracles, which the
+    gates prove bit-equal to the Spark expressions."""
+    th = {**QUALITY_FILTER_DEFAULTS, **overrides}
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH d AS (
+  SELECT {id_col}, {text_col},
+         regexp_split_to_array(trim({text_col}), '\s+') AS w
+  FROM {table}),
+m AS (
+  SELECT {id_col},
+         len(w) AS n,
+         round(len(list_filter(w, x -> list_contains([{stops}], lower(x))))
+               / greatest(len(w), 1), 6) AS stop,
+         round(list_sum(list_transform(w, x -> length(x)))
+               / greatest(len(w), 1), 6) AS mwl
+  FROM d),
+toks AS (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}),
+tc AS (SELECT {id_col}, count(*) AS c FROM toks GROUP BY {id_col}, tok),
+t AS (SELECT {id_col}, round(max(c)::DOUBLE / sum(c), 6) AS ttr,
+             round(count(*)::DOUBLE / sum(c), 6) AS dr
+      FROM tc GROUP BY {id_col}),
+bg AS (SELECT {id_col}, array_to_string(w[i::BIGINT:(i+1)::BIGINT], ' ') AS big
+       FROM (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}) s,
+            LATERAL (SELECT unnest(range(1, len(s.w))) AS i) r),
+bc AS (SELECT {id_col}, count(*) AS c FROM bg GROUP BY {id_col}, big),
+b AS (SELECT {id_col}, round(max(c)::DOUBLE / sum(c), 6) AS tbr FROM bc GROUP BY {id_col}),
+j AS (SELECT m.{id_col}, n, stop, mwl, ttr, dr, coalesce(tbr, 0.0) AS tbr
+      FROM m JOIN t USING ({id_col}) LEFT JOIN b USING ({id_col})),
+r AS (SELECT {id_col},
+  CASE WHEN n < {th['min_tokens']} THEN 'too_short'
+       WHEN n > {th['max_tokens']} THEN 'too_long'
+       WHEN mwl < {th['min_mean_word_len']} OR mwl > {th['max_mean_word_len']} THEN 'word_len'
+       WHEN stop < {th['min_stopword_ratio']} THEN 'low_stopword'
+       WHEN ttr > {th['max_top_token_ratio']} THEN 'repetitive_token'
+       WHEN tbr > {th['max_top_bigram_ratio']} THEN 'repetitive_bigram'
+       WHEN dr < {th['min_distinct_ratio']} THEN 'low_diversity'
+       ELSE 'ok' END AS reason
+  FROM j)
+SELECT {id_col}, reason,
+       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r ORDER BY {id_col}
+"""
 
 
 def stratified_cap(

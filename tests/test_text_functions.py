@@ -109,3 +109,94 @@ def test_language_id_multi(spark):
     assert rows["d_tie"]["lang"] == "de"
     assert rows["d_und"]["lang"] == "und"
     assert rows["d_empty"]["lang"] == "und"
+
+
+def test_quality_filter_cascade(spark):
+    """Every cascade branch fires on its crafted document, and the
+    FIRST failing rule (QUALITY_FILTER_ORDER) names the reason when
+    several rules fail at once."""
+    from pdf_parser_spark.operators.textstats import quality_filter
+
+    en = "the cat sat on the mat and it is a good day for all of us to be here now"  # ok: 20 tokens, stopword-rich, diverse
+    docs = [
+        ("ok", en),
+        ("too_short", "the cat sat on the mat"),
+        ("too_long", " ".join(["the word"] * 2600)),  # 5200 tokens; ALSO repetitive — too_long must win (earlier rule)
+        ("word_len", " ".join(["the", "pneumonoultramicroscopicsilico", "electroencephalographically"] * 12)),  # mwl = 20 > 12
+        ("low_stopword", " ".join(f"w{i}" for i in range(30))),  # zero stopwords, all distinct
+        ("repetitive_token", "the " * 9 + " ".join(f"the w{i}" for i in range(12))),  # 'the' dominates but stop_ratio high
+        # 9× 'big dog ran' + en: top bigram 9/46=0.196>0.18 but top token 9/47=0.191<=0.25
+        ("repetitive_bigram", " ".join(["big dog ran"] * 9) + " " + en),
+        # 5 distinct permutations of 8 words: distinct 8/40=0.2<0.3, top token 5/40=0.125,
+        # every bigram appears once or twice (<=2/39=0.051)
+        (
+            "low_diversity",
+            "the cat dog run sun sky sea fox "
+            "cat the run dog sky sun fox sea "
+            "dog run the cat sea fox sun sky "
+            "run sun cat sky the sea fox dog "
+            "sun dog sky the fox cat run sea",
+        ),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in quality_filter(df, "doc_id", "text").collect()
+    }
+    for expect, _ in docs:
+        reason, keep = out[expect]
+        assert reason == expect or (expect == "ok" and reason == "ok"), (
+            f"doc crafted for {expect!r} classified {reason!r}"
+        )
+        assert keep == (1 if expect == "ok" else 0)
+
+
+def test_quality_filter_matches_generated_oracle(spark):
+    """Spark cascade ≡ the generated DuckDB SQL on the same rows —
+    the same one-source-of-truth check the driver gate runs, over
+    crafted edge docs instead of the corpus."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_parser_spark.operators.textstats import (
+        quality_filter,
+        quality_filter_oracle_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": [
+                "the cat sat on the mat and it is a good day for all of us to be here now",
+                "tiny",
+                "the " * 40,
+                " ".join(f"unique{i}" for i in range(25)),
+                " ".join(["the cat"] * 30),
+                "the a an of to in and is it you that for on with as are this be or at extra",
+            ],
+        }
+    )
+    got = (
+        quality_filter(spark.createDataFrame(pdf), "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        quality_filter_oracle_sql("documents", "doc_id", "text")
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "reason", "keep"]].reset_index(drop=True),
+        want[["doc_id", "reason", "keep"]].reset_index(drop=True),
+    )
+
+
+def test_quality_filter_rejects_unknown_threshold(spark):
+    import pytest
+
+    from pdf_parser_spark.operators.textstats import quality_filter
+
+    df = spark.createDataFrame([("d", "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown quality_filter"):
+        quality_filter(df, "doc_id", "text", min_tokenz=5)
