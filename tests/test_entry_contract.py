@@ -44,6 +44,7 @@ SUBSET = [
     "t9_shard_pack",
     "t10_bigram_lm",
     "t11_weighted_sample",
+    "t12_quality_filter",
     "d9_passage_dedup",
 ]
 
