@@ -445,8 +445,7 @@ def q_x3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("x3 rollup stream did not drain within 600 s")
-    out = read_ladder(spark, ladder)
-    return out.select(
+    out = read_ladder(spark, ladder).select(
         "level_us",
         "bucket_us",
         "event_type",
@@ -454,7 +453,17 @@ def q_x3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
-    ).orderBy("level_us", "bucket_us", "event_type")
+    )
+    # materialize the (small) ladder off the temp tree, then delete it —
+    # otherwise every gate/bench invocation leaks a parquet-filled
+    # tempdir (src + ladder + checkpoint)
+    import shutil
+
+    pdf = out.toPandas()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema).orderBy(
+        "level_us", "bucket_us", "event_type"
+    )
 
 
 # each level computed directly from raw rows (NOT from the finer level)
@@ -1546,11 +1555,60 @@ def q_x2_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("x2 ingest stream did not drain within 600 s")
-    return (
+    sink = (
         read_ingested(spark, out)
         .select("doc_id", "kind", "text", "media_ref", "order")
-        .orderBy("doc_id", "order")
     )
+    # materialize the sink contents off the temp tree, then delete it —
+    # same leak shape the ADVICE flagged for x3 (src + out + ckpt
+    # parquet trees accumulated per invocation)
+    import shutil
+
+    pdf = sink.toPandas()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=sink.schema).orderBy("doc_id", "order")
+
+
+def q_x4_resume_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH checkpoint/resume loop, value-gated (round-4 VERDICT
+    task 5 — the one §2.10 surface without a CORRECTNESS row): extract
+    runs over the interleaved corpus through the partition-granular
+    checkpoint (streaming/checkpoint.py), an injected kill lands after
+    2 of 4 committed groups, a second invocation resumes from the
+    marker log and finishes the remaining buckets, and the UNION of
+    committed group outputs is compared against the same golden parquet
+    as x1 — proving a killed job resumes at partition granularity
+    without duplicating or dropping a single span."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_spark.streaming.checkpoint import (
+        extract_with_checkpoint,
+        read_extracted,
+    )
+
+    _ship_package(spark)
+    docs = _interleaved_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="x4_resume_")
+    try:
+        extract_with_checkpoint(
+            spark, docs, base, n_buckets=8, group_size=2, fail_after_groups=2
+        )
+        raise AssertionError("injected kill did not fire")
+    except RuntimeError:
+        pass  # the injected kill between partition groups
+    summary = extract_with_checkpoint(spark, docs, base, n_buckets=8, group_size=2)
+    if summary["resumed_from"] != 4:
+        raise AssertionError(
+            f"resume should start from the 4 committed buckets, "
+            f"got {summary['resumed_from']}"
+        )
+    out = read_extracted(spark, base).select(
+        "doc_id", "kind", "text", "media_ref", "order"
+    )
+    pdf = out.toPandas()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema).orderBy("doc_id", "order")
 
 
 def q_m3_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,7 +2031,22 @@ def _t9_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness sweep runs the dict in
+    # insertion order under a time budget — round 4 truncated at the
+    # final 9 entries, losing the driver row for x1 (the span-parity
+    # gate certifying the whole §2 surface). The highest-value gates
+    # run FIRST; the long-green relational gates run last.
     return {
+        "x1_extract_spans": q_x1_extract_spans,
+        "x2_stream_extract": q_x2_stream_extract,
+        "x4_resume_extract": q_x4_resume_extract,
+        "k1_kmv_distinct": q_k1_kmv_distinct,
+        "k2_hll_distinct": q_k2_hll_distinct,
+        "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
+        "k4_kmv_setops": q_k4_kmv_setops,
+        "m1_media_metadata_sql": q_m1_media_metadata_sql,
+        "m2_media_metadata_udf": q_m2_media_metadata_udf,
+        "m3_media_transform": q_m3_media_transform,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a10_cube_agg": q_a10_cube_agg,
         "q1_exact_quantiles": q_q1_exact_quantiles,
@@ -2024,20 +2097,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_ivf_ann": q_s4_ivf_ann,
         "s5_ivf_trained": q_s5_ivf_trained,
         "d5_embedding_neardup": q_d5_embedding_neardup,
-        "k1_kmv_distinct": q_k1_kmv_distinct,
-        "k2_hll_distinct": q_k2_hll_distinct,
-        "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
-        "k4_kmv_setops": q_k4_kmv_setops,
-        "m1_media_metadata_sql": q_m1_media_metadata_sql,
-        "m2_media_metadata_udf": q_m2_media_metadata_udf,
-        "m3_media_transform": q_m3_media_transform,
-        "x1_extract_spans": q_x1_extract_spans,
-        "x2_stream_extract": q_x2_stream_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # x1/x2/x4: geometry is non-SQL; the oracle reads the committed
+        # golden computed by the pure-Python reference oracle (full
+        # value parity). x2 runs the same corpus through the STREAMING
+        # ingest loop, x4 through the kill/resume batch checkpoint —
+        # the identical golden pins stream ≡ batch ≡ resumed-batch.
+        "x1_extract_spans": _x1_oracle_sql("sf0.01"),
+        "x2_stream_extract": _x1_oracle_sql("sf0.01"),
+        "x4_resume_extract": _x1_oracle_sql("sf0.01"),
+        "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
+        "k2_hll_distinct": _k2_sql(),
+        "k3_cms_heavy_hitters": _k3_sql(),
+        "k4_kmv_setops": _k4_sql(),
+        "m1_media_metadata_sql": _M_SQL,
+        "m2_media_metadata_udf": _M_SQL,
+        "m3_media_transform": _M3_SQL,
         "a1_pricing_summary": _A1_SQL,
         "a10_cube_agg": _A10_SQL,
         "q1_exact_quantiles": _q1_sql(),
@@ -2088,17 +2167,4 @@ def oracle_sql() -> dict[str, str]:
         "s4_ivf_ann": _S4_SQL,
         "s5_ivf_trained": _s5_sql(),
         "d5_embedding_neardup": _D5_SQL,
-        "k1_kmv_distinct": kmv_oracle_sql("documents", "source", "text", 8),
-        "k2_hll_distinct": _k2_sql(),
-        "k3_cms_heavy_hitters": _k3_sql(),
-        "k4_kmv_setops": _k4_sql(),
-        "m1_media_metadata_sql": _M_SQL,
-        "m2_media_metadata_udf": _M_SQL,
-        "m3_media_transform": _M3_SQL,
-        # x1/x2: geometry is non-SQL; the oracle reads the committed
-        # golden computed by the pure-Python reference oracle (full
-        # value parity); x2 runs the same corpus through the STREAMING
-        # ingest loop, so the identical golden pins stream ≡ batch
-        "x1_extract_spans": _x1_oracle_sql("sf0.01"),
-        "x2_stream_extract": _x1_oracle_sql("sf0.01"),
     }

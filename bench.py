@@ -17,32 +17,41 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+HEADLINE = [
+    "x1_extract_spans",
+    "a1_pricing_summary",
+    "w1_sessionize",
+    "j1_priority_dedupe",
+    "j3_nearest_assign",
+    "d1_exact_dedup",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "t1_text_profile",
+    "s1_cosine_topk",
+    "m2_media_metadata_udf",
+]
 
-def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+
+def run_bench(
+    sf_dir: str, cpus: int, names: list[str] | None = None, raw: bool = False
+) -> dict:
+    """Time the headline suite. ``raw=True`` is the fresh-subprocess
+    mode: time ``names`` min-of-2 and return ``{"queries", "steal_pct"}``
+    only — no regression adjudication (which would recurse), no scaling
+    block, no detail spill."""
     import __spark_entry__ as E
     from pdf_parser_spark.session import get_spark
 
     spark_ref = {"s": get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)}
     spark = spark_ref["s"]
 
-    headline = names or [
-        "x1_extract_spans",
-        "a1_pricing_summary",
-        "w1_sessionize",
-        "j1_priority_dedupe",
-        "j3_nearest_assign",
-        "d1_exact_dedup",
-        "d3_minhash_lsh",
-        "d4_simhash",
-        "t1_text_profile",
-        "s1_cosine_topk",
-        "m2_media_metadata_udf",
-    ]
+    headline = names or HEADLINE
     # warm-up: spin up executor threads + the Python UDF worker pool so
     # timings measure steady-state throughput, not process startup
     import pandas as pd
@@ -84,6 +93,10 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         if best_steal is not None:
             steal[name] = best_steal
 
+    if raw:
+        spark_ref["s"].stop()
+        return {"queries": timings, "steal_pct": steal}
+
     # self-adjudicating re-measure: a co-tenant burst during the suite
     # produces spurious >10% regression flags whose steal sample (it
     # covers only the best run's window) can still read ~0 (round-3
@@ -105,37 +118,32 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
                 steal[name] = best_steal
         remeasured[name] = 5
 
-    # fresh-JVM adjudication: a query still flagged after min-of-5 in
-    # the ORIGINAL session may be paying accumulated executor state
+    # fresh-PROCESS adjudication: a query still flagged after min-of-5
+    # in the ORIGINAL session may be paying accumulated executor state
     # (GC pressure, Python worker churn, storage fragmentation from 10
-    # earlier queries), not a plan regression — measured this round:
-    # d3/d4/t1 read 2x their fresh-JVM times late in the suite while
-    # standalone runs matched round 3 exactly. Restart the session
-    # once and re-time the survivors; a REAL regression reproduces in
-    # the fresh JVM too.
+    # earlier queries), not a plan regression. Round-4 VERDICT: the old
+    # in-process "fresh JVM" (spark.stop() + getOrCreate) was NOT fresh
+    # — the py4j gateway JVM survives SparkContext restarts in local
+    # mode, so it measured accumulated heap/worker state and kept
+    # 29-64% phantom regressions that genuinely standalone runs did not
+    # reproduce. Re-exec the survivors in a SUBPROCESS (its own JVM);
+    # a REAL plan regression reproduces there too.
     still = [
         r["name"]
         for r in _deltas_vs_prev(timings, steal).get("regressions", [])
         if r["name"] in timings
     ]
-    fresh_jvm: list[str] = []
+    fresh_proc: list[str] = []
     if still:
-        spark_ref["s"].stop()
-        spark_ref["s"] = get_spark(
-            "bench-fresh", master=f"local[{cpus}]", shuffle_partitions=cpus
-        )
-        warm = spark_ref["s"].range(0, cpus * 4, 1, cpus)
-        warm.mapInPandas(
-            lambda it: (pdf for pdf in it), schema="id long"
-        ).write.format("noop").mode("overwrite").save()
-        for name in still:
-            best, best_steal = time_query(name, 2)
-            if round(best, 3) < timings[name]:
-                timings[name] = round(best, 3)
-                if best_steal is not None:
-                    steal[name] = best_steal
-            remeasured[name] = remeasured.get(name, 2) + 2
-            fresh_jvm.append(name)
+        fresh = _fresh_process_retime(still, sf_dir, cpus)
+        if fresh is not None:
+            for name, sec in fresh.get("queries", {}).items():
+                if name in timings and sec < timings[name]:
+                    timings[name] = sec
+                    if fresh.get("steal_pct", {}).get(name) is not None:
+                        steal[name] = fresh["steal_pct"][name]
+                remeasured[name] = remeasured.get(name, 5) + 2
+                fresh_proc.append(name)
     spark = spark_ref["s"]
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -158,12 +166,42 @@ def run_bench(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         result["steal_pct"] = steal
     if remeasured:
         result["remeasured_runs"] = remeasured
-    if fresh_jvm:
-        result["fresh_jvm_retimed"] = fresh_jvm
+    if fresh_proc:
+        result["fresh_process_retimed"] = fresh_proc
     result.update(_deltas_vs_prev(timings, steal))
     result.update(_scaling_evidence())
     spark.stop()
     return result
+
+
+def _fresh_process_retime(
+    names: list[str], sf_dir: str, cpus: int
+) -> dict | None:
+    """Re-time ``names`` in a genuinely fresh process (own JVM, own
+    Python workers) and return its ``{"queries": ..., "steal_pct":
+    ...}``; None if the subprocess fails (the in-process numbers then
+    stand, flagged)."""
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--raw",
+        "--only",
+        ",".join(names),
+        "--sf-dir",
+        sf_dir,
+        "--cpus",
+        str(cpus),
+    ]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if p.returncode != 0 or not p.stdout.strip():
+        return None
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    except ValueError:
+        return None
 
 
 def _cpu_steal_counters() -> tuple[int, int] | None:
@@ -239,32 +277,45 @@ def _recover_from_tail(tail: str) -> dict | None:
     return out
 
 
-def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = None) -> dict:
-    """Per-query deltas vs the most recent BENCH_r{N}.json (driver
-    round record): negative pct = faster this round; queries slower by
-    >10% are flagged as regressions, each with a one-line adjudication
-    (steal-annotated — round-2 VERDICT tightened the threshold from
-    20% after d3 +2.2% and t1 +15.2% sailed through unflagged).
-    Comparable only when sf/cpus match, so those are carried
-    alongside."""
+def _deltas_vs_prev(
+    timings: dict[str, float],
+    steal: dict[str, float] | None = None,
+    here: str | None = None,
+) -> dict:
+    """Per-query deltas vs the most recent RECOVERABLE BENCH_r{N}.json
+    (driver round record): negative pct = faster this round; queries
+    slower by >10% are flagged as regressions, each with a one-line
+    adjudication (steal-annotated — round-2 VERDICT tightened the
+    threshold from 20% after d3 +2.2% and t1 +15.2% sailed through
+    unflagged). Comparable only when sf/cpus match, so those are
+    carried alongside.
+
+    Rounds are walked newest→oldest and the first whose queries can be
+    parsed or tail-salvaged wins (round-4 VERDICT: BENCH_r04.json's
+    tail truncation chopped the ``"queries"`` key entirely, so pinning
+    on ``rounds[-1]`` silently emptied every future delta).
+    ``here`` overrides the directory scanned (tests)."""
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(
         (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.findall(r"\d+", f)[0]),
     )
-    if not rounds:
-        return {}
-    with open(os.path.join(here, rounds[-1])) as f:
-        prev = json.load(f)
-    if "parsed" in prev:  # driver records wrap the JSON line
-        # BENCH_r03.json carries parsed:null (the oversized r3 line
-        # outgrew the driver's tail capture) — recover the fields the
-        # delta comparison needs from the raw tail text rather than
-        # crashing or silently dropping round-over-round tracking
-        prev = prev["parsed"] or _recover_from_tail(prev.get("tail") or "")
-    if not isinstance(prev, dict):
+    prev, prev_name = None, None
+    for name in reversed(rounds):
+        with open(os.path.join(here, name)) as f:
+            cand = json.load(f)
+        if "parsed" in cand:  # driver records wrap the JSON line
+            # parsed:null = the line outgrew the driver's tail capture;
+            # recover the fields the delta comparison needs from the
+            # raw tail text rather than crashing or silently dropping
+            # round-over-round tracking
+            cand = cand["parsed"] or _recover_from_tail(cand.get("tail") or "")
+        if isinstance(cand, dict) and cand.get("queries"):
+            prev, prev_name = cand, name
+            break
+    if prev is None:
         return {}
     prev_q = prev.get("queries") or {}
     deltas = {
@@ -287,7 +338,7 @@ def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = 
             {"name": name, "delta_pct": deltas[name], "steal_pct": s, "note": note}
         )
     out = {
-        "prev_round": rounds[-1],
+        "prev_round": prev_name,
         "prev_cfg": {"sf": prev.get("sf"), "cpus": prev.get("cpus"),
                      "timing_method": prev_method},
         "delta_pct_vs_prev": deltas,
@@ -304,18 +355,101 @@ def _deltas_vs_prev(timings: dict[str, float], steal: dict[str, float] | None = 
     return out
 
 
+# the driver's tail capture is 2,000 bytes (both committed parsed:null
+# records prove it: len(tail)==2000). Budget the final line well under
+# that — everything bulky spills to a BENCH/ detail file by path.
+MAX_LINE_BYTES = 1800
+
+# moved wholesale into the detail file — diagnostics, not the headline
+# contract (queries/value/docs_per_sec/scaling stay on the line)
+SPILL_KEYS = (
+    "steal_pct",
+    "remeasured_runs",
+    "fresh_process_retimed",
+    "prev_cfg",
+    "delta_pct_vs_prev",
+    "regressions",
+    "delta_caveat",
+)
+
+
+def _next_round_detail_path(here: str) -> str:
+    """BENCH/record_r{N}.json where N = (latest BENCH_r*.json round)+1 —
+    the round the driver is about to record this run under."""
+    import re
+
+    nums = [
+        int(re.findall(r"\d+", f)[0])
+        for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    ]
+    n = (max(nums) + 1) if nums else 1
+    return os.path.join("BENCH", f"record_r{n:02d}.json")
+
+
+def _compact_line(result: dict, detail_rel: str) -> tuple[str, dict]:
+    """(final stdout line, full detail record). The line keeps the
+    driver-contract fields plus compact regression pointers; everything
+    in SPILL_KEYS lives only in the detail file. If the line still
+    overflows (headline suite growth), the scaling block degrades to
+    its file pointer before anything contract-bearing is touched."""
+    detail = dict(result)
+    detail["detail_of"] = detail_rel
+    compact = {k: v for k, v in result.items() if k not in SPILL_KEYS}
+    regs = result.get("regressions") or []
+    if regs:
+        compact["regressed"] = [r["name"] for r in regs]
+    compact["detail_file"] = detail_rel
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= MAX_LINE_BYTES and "scaling" in compact:
+        compact["scaling"] = {"file": compact["scaling"].get("file", "BENCH/scaling.json")}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line, detail
+
+
+def _parse_args(argv: list[str]) -> dict:
+    out = {
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "raw": False,
+        "only": None,
+    }
+    it = iter(argv)
+    for a in it:
+        if a == "--raw":
+            out["raw"] = True
+        elif a == "--only":
+            out["only"] = next(it).split(",")
+        elif a == "--sf-dir":
+            out["sf_dir"] = next(it)
+        elif a == "--cpus":
+            out["cpus"] = int(next(it))
+        else:
+            raise SystemExit(f"unknown arg: {a}")
+    return out
+
+
 if __name__ == "__main__":
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    result = run_bench(sf_dir, cpus)
+    args = _parse_args(sys.argv[1:])
+    result = run_bench(args["sf_dir"], args["cpus"], names=args["only"], raw=args["raw"])
+    if args["raw"]:
+        # subprocess mode: minimal record for the parent, no spill
+        print(json.dumps(result, separators=(",", ":")))
+        sys.exit(0)
     # driver contract: ONE compact JSON object as the VERY LAST stdout
-    # line (round-3 VERDICT: the embedded payloads outgrew the driver's
-    # tail capture → BENCH_r03.json "parsed": null). Self-verify the
-    # line round-trips and stays within a conservative tail window.
-    line = json.dumps(result, separators=(",", ":"))
-    assert json.loads(line) == result, "bench JSON does not round-trip"
+    # line, sized for the driver's 2,000-byte tail capture (rounds 3
+    # AND 4 both recorded parsed:null when bulky diagnostics rode
+    # along). Bulk spills to BENCH/record_r{N}.json, referenced by
+    # path; the line self-verifies it round-trips and fits.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_rel = _next_round_detail_path(here)
+    line, detail = _compact_line(result, detail_rel)
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    with open(os.path.join(here, detail_rel), "w") as f:
+        json.dump(detail, f, indent=1)
+    assert json.loads(line), "bench JSON does not round-trip"
     assert "\n" not in line, "bench JSON must be a single line"
-    assert len(line) < 4000, f"bench JSON line too long ({len(line)} bytes)"
+    assert len(line) < MAX_LINE_BYTES, f"bench JSON line too long ({len(line)} bytes)"
     sys.stdout.flush()
     sys.stderr.flush()
     print(line)

@@ -61,10 +61,12 @@ def nearest_assign(
     a left row (the operator's contract), so every surviving column is
     constant within a group and rides inside the min_by payload.
     ``tie_break`` should totally order candidates for a deterministic
-    winner; rows with NULL distance are skipped by min_by (they could
-    never win an asc ordering).
+    winner; rows with NULL distance are dropped before the argmin (a
+    NULL ``_dist`` field sorts FIRST in ascending struct comparison, so
+    without the filter it would win min_by, not lose).
     """
     joined = left.join(right, equi_keys, "inner").withColumn("_dist", distance)
+    joined = joined.filter(F.col("_dist").isNotNull())
     if max_distance is not None:
         joined = joined.filter(F.col("_dist") <= max_distance)
     ordering = F.struct(F.col("_dist"), *(tie_break or []))
@@ -99,9 +101,21 @@ def asof_join(
     exchange, independent of how many right rows precede each left row
     (an inequality-join plan degrades to per-key cross products on hot
     keys; this form cannot). Left rows with no prior right row keep
-    NULL payloads (left-join semantics).
+    NULL payloads (left-join semantics). Right rows with NULL
+    ``right_ts`` are dropped — under the ascending union sort they
+    would act as a before-time-began sentinel attached to every
+    otherwise-unmatched left row. ``<payload>_r`` names are reserved:
+    a left column already named that would silently collide through
+    unionByName, so it is rejected.
     """
+    for p in payload:
+        if f"{p}_r" in left.columns:
+            raise ValueError(
+                f"left column '{p}_r' collides with the reserved as-of "
+                f"payload name for '{p}'"
+            )
     left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *on,
         F.col(right_ts).alias("_asof_ts"),

@@ -46,7 +46,12 @@ def exact_group_quantiles(
     sort_win = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
     grp_win = Window.partitionBy(*group_cols)
     ranked = (
+        # NULLs are excluded (standard percentile semantics): Spark sorts
+        # NULLS FIRST ascending while most SQL engines default NULLS LAST,
+        # so keeping them would both skew ranks cross-engine and let NULL
+        # be returned as a quantile value.
         df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .withColumn("_rn", F.row_number().over(sort_win))
         .withColumn("_n", F.count(F.lit(1)).over(grp_win))
     )
@@ -76,7 +81,7 @@ WITH r AS (
   SELECT {gcols}, {value_sql} AS v,
          row_number() OVER (PARTITION BY {gcols} ORDER BY {value_sql}) AS rn,
          count(*) OVER (PARTITION BY {gcols}) AS n
-  FROM {table}),
+  FROM {table} WHERE {value_sql} IS NOT NULL),
 q AS (SELECT unnest([{plist}]) AS q)
 SELECT {gcols}, CAST(q AS BIGINT) AS q, v AS value
 FROM r, q WHERE rn = (n * q + 99) // 100

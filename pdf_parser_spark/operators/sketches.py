@@ -415,7 +415,9 @@ def kmv_set_ops(
             & F.array_contains(F.col("b"), x),
         )
     )
-    j = inter_cnt / F.size(u)
+    # empty inputs → empty union sketch; define Jaccard as 0.0 rather
+    # than NULL-by-division-by-zero
+    j = F.when(F.size(u) > 0, inter_cnt / F.size(u)).otherwise(F.lit(0.0))
     est_u = _kmv_est(u, k)
     return row.select(
         F.round(_kmv_est(F.col("a"), k), 2).alias("est_a"),
@@ -458,8 +460,10 @@ ix AS (SELECT count(*) AS ni FROM u
 SELECT round(est_a, 2) AS est_a,
        round(est_b, 2) AS est_b,
        round(est_union, 2) AS est_union,
-       round(CAST(ni AS DOUBLE) / nu, 6) AS jaccard_est,
-       round((CAST(ni AS DOUBLE) / nu) * est_union, 2) AS est_intersection
+       round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / nu ELSE 0.0 END,
+             6) AS jaccard_est,
+       round(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / nu ELSE 0.0 END
+             * est_union, 2) AS est_intersection
 FROM ea, eb, eu, ix
 """
 
