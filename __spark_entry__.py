@@ -49,6 +49,13 @@ from pdf_parser_spark.operators.similarity import (
     embedding_neardup_pairs,
 )
 from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
+from pdf_parser_spark.operators.webextract import (
+    _ANCHOR_TEXT,
+    _BLOCK_SPLIT,
+    REGION_TAGS,
+    dom_metadata,
+    main_content,
+)
 from pdf_parser_spark.operators.textstats import (
     hash_split,
     hash_split_oracle_sql,
@@ -1652,6 +1659,200 @@ FROM scaled s JOIN frames f USING (media_id) ORDER BY s.media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# h gates: HTML boilerplate strip + DOM heuristics (north-rule clause
+# "HTML boilerplate strip ... DOM heuristics"; operators/webextract.py).
+# Each document's text is wrapped in a deterministic page template —
+# built from ONE shared fragment table in BOTH engines, so the inputs
+# cannot drift — containing every boilerplate shape the extractor must
+# reject: head/style/script regions (the script holds a literal '</p>'
+# and a '<' to prove region-stripping precedes tag parsing), nav and
+# header link rows, a below-min-length block, a link-farm list, and a
+# footer. The kept main content is the title-cased heading, the two
+# text paragraphs, and the mixed low-link-density block.
+
+_H_FRAGS = {
+    "head1": "<html><head><title>Doc ",
+    "head2": (
+        " &amp; notes</title><style>p { margin: 0; }</style>"
+        "<script>var x = 1; if (x < 2) { x = '</p>'; }</script></head>"
+    ),
+    "nav": (
+        '<body><nav><a href="/">home</a> <a href="/t">tags</a>'
+        ' <a href="/u">users</a></nav>'
+        '<header><a href="/login">sign in</a></header><h1>Doc '
+    ),
+    "h1close": " heading</h1><p>",
+    "p1close": ' Fish &amp; chips.</p><div class="c">',
+    "divclose": '</div><p>See <a href="/x">',
+    "mixclose": (
+        "</a> plus trailing context that pads this mixed block"
+        ' comfortably past the minimum length gate.</p><p>ok</p>'
+        '<ul><li><a href="/1">'
+    ),
+    "li2": '</a></li><li><a href="/2">',
+    "tail": (
+        '</a></li></ul><footer>(c) site - <a href="/about">about</a>'
+        "</footer></body></html>"
+    ),
+}
+
+
+def _synth_html_col():
+    did = F.col("doc_id").cast("string")
+    t = F.col("text")
+    return F.concat(
+        F.lit(_H_FRAGS["head1"]), did, F.lit(_H_FRAGS["head2"]),
+        F.lit(_H_FRAGS["nav"]), did, F.lit(_H_FRAGS["h1close"]),
+        F.substring(t, 1, 160), F.lit(_H_FRAGS["p1close"]),
+        F.substring(t, 161, 160), F.lit(_H_FRAGS["divclose"]),
+        F.substring(t, 1, 24), F.lit(_H_FRAGS["mixclose"]),
+        F.substring(t, 1, 24), F.lit(_H_FRAGS["li2"]),
+        F.substring(t, 1, 24), F.lit(_H_FRAGS["tail"]),
+    )
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _synth_html_sql() -> str:
+    q = _sqlq
+    return (
+        f"{q(_H_FRAGS['head1'])} || CAST(doc_id AS VARCHAR) || {q(_H_FRAGS['head2'])}"
+        f" || {q(_H_FRAGS['nav'])} || CAST(doc_id AS VARCHAR) || {q(_H_FRAGS['h1close'])}"
+        f" || substr(text, 1, 160) || {q(_H_FRAGS['p1close'])}"
+        f" || substr(text, 161, 160) || {q(_H_FRAGS['divclose'])}"
+        f" || substr(text, 1, 24) || {q(_H_FRAGS['mixclose'])}"
+        f" || substr(text, 1, 24) || {q(_H_FRAGS['li2'])}"
+        f" || substr(text, 1, 24) || {q(_H_FRAGS['tail'])}"
+    )
+
+
+def _h_strip_sql(expr: str) -> str:
+    """SQL mirror of webextract.strip_boilerplate — comments innermost
+    (applied first), then one regexp_replace per REGION_TAG in the same
+    order; RE2 has no backreferences, hence the per-tag expansion."""
+    out = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in REGION_TAGS:
+        out = (
+            "regexp_replace(" + out
+            + f", '(?is)<{tag}(?:\\s[^>]*)?>.*?</{tag}\\s*>', ' ', 'g')"
+        )
+    return out
+
+
+def _h_vis_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({expr}, '<[^>]*>', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def _h_decode_sql(expr: str) -> str:
+    # &amp; LAST, mirroring webextract.decode_entities
+    return (
+        "replace(replace(replace(replace(replace(" + expr
+        + ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&#39;', ''''), '&amp;', '&')"
+    )
+
+
+def q_h1_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content blocks of the synthesized pages: boilerplate
+    regions gone, short and link-dense blocks gone, ordinals dense,
+    entities decoded. Pure Catalyst — zero Python, and the only
+    exchange carries the surviving content blocks."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_html_col().alias("html")
+    )
+    out = main_content(docs, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "text",
+        F.col("text_len").cast("long").alias("text_len"),
+        "link_density",
+    ).orderBy("doc_id", "block_idx")
+
+
+def q_h2_dom_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DOM heuristics over the same synthesized pages:
+    title / first h1 (tag-stripped, entity-decoded), link / paragraph /
+    image counts, and post-strip visible-content length. Row-local —
+    zero shuffles beyond the final ORDER BY."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_html_col().alias("html")
+    )
+    out = dom_metadata(docs, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        "title",
+        "h1",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.col("n_images").cast("long").alias("n_images"),
+        F.col("content_len").cast("long").alias("content_len"),
+    ).orderBy("doc_id")
+
+
+def _h1_sql() -> str:
+    return f"""
+WITH src AS (SELECT doc_id, {_synth_html_sql()} AS html FROM documents),
+clean AS (SELECT doc_id, {_h_strip_sql('html')} AS chtml FROM src),
+arr AS (SELECT doc_id,
+               string_split_regex(chtml, {_sqlq(_BLOCK_SPLIT)}) AS blocks
+        FROM clean),
+blocks AS (
+  SELECT doc_id,
+         unnest(blocks) AS block,
+         unnest(generate_series(1, len(blocks))) AS pos
+  FROM arr),
+scored AS (
+  SELECT doc_id, pos,
+         {_h_vis_sql('block')} AS raw_text,
+         length({_h_vis_sql('block')}) AS text_len,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(block, {_sqlq(_ANCHOR_TEXT)}, 1),
+             a -> length(trim(regexp_replace(a, '<[^>]*>', ' ', 'g'))))), 0)
+           AS link_len
+  FROM blocks),
+kept AS (
+  SELECT doc_id, pos, raw_text, text_len,
+         round(link_len / text_len, 6) AS link_density
+  FROM scored WHERE text_len > 0)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS block_idx,
+       {_h_decode_sql('raw_text')} AS text,
+       CAST(text_len AS BIGINT) AS text_len,
+       link_density
+FROM kept
+WHERE text_len >= 25 AND link_density <= 0.33
+ORDER BY doc_id, block_idx
+"""
+
+
+def _h2_sql() -> str:
+    title = "regexp_extract(html, '(?is)<title(?:\\s[^>]*)?>(.*?)</title\\s*>', 1)"
+    h1 = "regexp_extract(html, '(?is)<h1(?:\\s[^>]*)?>(.*?)</h1\\s*>', 1)"
+    return f"""
+WITH src AS (SELECT doc_id, {_synth_html_sql()} AS html FROM documents)
+SELECT doc_id,
+       {_h_decode_sql(_h_vis_sql(title))} AS title,
+       {_h_decode_sql(_h_vis_sql(h1))} AS h1,
+       CAST(len(regexp_extract_all(html, '(?i)<a(?:\\s[^>]*)?>')) AS BIGINT)
+         AS n_links,
+       CAST(len(regexp_extract_all(html, '(?i)<p(?:\\s[^>]*)?>')) AS BIGINT)
+         AS n_paragraphs,
+       CAST(len(regexp_extract_all(html, '(?i)<img(?:\\s[^>]*)?/?>')) AS BIGINT)
+         AS n_images,
+       CAST(length({_h_vis_sql(_h_strip_sql('html'))}) AS BIGINT)
+         AS content_len
+FROM src ORDER BY doc_id
+"""
+
+
 def q_w15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union-tag + running last, ONE shuffle on
     user_id — no inequality join): each purchase event gets the most
@@ -2047,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_metadata_sql": q_m1_media_metadata_sql,
         "m2_media_metadata_udf": q_m2_media_metadata_udf,
         "m3_media_transform": q_m3_media_transform,
+        "h1_main_content": q_h1_main_content,
+        "h2_dom_metadata": q_h2_dom_metadata,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a10_cube_agg": q_a10_cube_agg,
         "q1_exact_quantiles": q_q1_exact_quantiles,
@@ -2117,6 +2320,8 @@ def oracle_sql() -> dict[str, str]:
         "m1_media_metadata_sql": _M_SQL,
         "m2_media_metadata_udf": _M_SQL,
         "m3_media_transform": _M3_SQL,
+        "h1_main_content": _h1_sql(),
+        "h2_dom_metadata": _h2_sql(),
         "a1_pricing_summary": _A1_SQL,
         "a10_cube_agg": _A10_SQL,
         "q1_exact_quantiles": _q1_sql(),

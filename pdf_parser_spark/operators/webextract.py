@@ -1,0 +1,171 @@
+"""HTML main-content extraction: boilerplate strip + DOM heuristics.
+
+The north rule's extraction tier names three surfaces: PDF/layout
+parse (plans/extract.py, the reference-parity pipeline), HTML
+boilerplate strip, and DOM heuristics — this module is the latter two,
+built Spark-first: every step is a pure Catalyst expression
+(regexp_replace / split / regexp_extract_all / higher-order array
+functions), so extraction is a row-local linear scan — zero shuffles,
+zero Python workers, whole-stage-codegen end to end. At 10^12
+documents the plan is one FileScan → Project → Generate(explode) →
+Filter per partition; nothing crosses the wire until the caller
+aggregates.
+
+Method (readability/trafilatura-style density heuristics, from the
+public literature — not a port of any engine):
+
+1. strip non-content REGIONS (script/style/noscript/head/nav/header/
+   footer/aside/form + comments) — one fixed non-greedy pattern per
+   tag because the SQL oracle dialect (RE2) has no backreferences;
+2. segment the remainder into BLOCKS at block-level tag boundaries
+   (p/div/h1-6/li/tr/td/section/article/blockquote/pre/br/ul/ol/
+   table);
+3. score each block: visible text length and LINK DENSITY (chars
+   inside <a> elements / total chars) — boilerplate is short and
+   link-heavy, main content is long and link-light;
+4. keep blocks with text_len >= min_len and link_density <=
+   max_link_density, re-densify ordinals, decode the 5 basic
+   entities.
+
+Known, documented limits (shared by the SQL oracle, so the gate is
+exact): regions are matched non-greedily without nesting awareness
+(a <div> inside <nav> is removed with the nav; a <nav> nested inside
+another <nav> leaves a dangling close tag that block-splitting then
+discards as markup-only), and entity decoding covers
+&amp; &lt; &gt; &quot; &#39; only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tags whose entire element (content included) is never main content
+REGION_TAGS = (
+    "script", "style", "noscript", "head",
+    "nav", "header", "footer", "aside", "form",
+)
+
+# tags that terminate a text block (openers and closers both split)
+BLOCK_TAGS = (
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr", "td",
+    "section", "article", "blockquote", "pre", "br", "ul", "ol", "table",
+)
+
+_BLOCK_SPLIT = r"(?i)</?(?:" + "|".join(BLOCK_TAGS) + r")(?:\s[^>]*)?/?>"
+_ANCHOR_TEXT = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+_ANY_TAG = r"<[^>]*>"
+
+
+def strip_boilerplate(html_col: str | Column) -> Column:
+    """Remove comments and non-content regions (script/style/nav/...).
+
+    One regexp_replace per region tag — RE2 (the oracle dialect) has
+    no backreferences, so ``<(x)>.*?</\\1>`` is spelled out per tag;
+    each pattern is non-greedy and DOTALL so a region spanning lines
+    is removed whole.
+    """
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    out = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    for tag in REGION_TAGS:
+        out = F.regexp_replace(
+            out, rf"(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}\s*>", " "
+        )
+    return out
+
+
+def decode_entities(col: Column) -> Column:
+    """The 5 basic HTML entities, &amp; LAST so '&amp;lt;' decodes to
+    the literal '&lt;' and not to '<' (standard single-pass order)."""
+    out = F.replace(col, F.lit("&lt;"), F.lit("<"))
+    out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&quot;"), F.lit('"'))
+    out = F.replace(out, F.lit("&#39;"), F.lit("'"))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def _visible_len(block: Column) -> Column:
+    """Length of the block's visible text: tags removed, whitespace
+    runs collapsed, ends trimmed."""
+    return F.length(_visible_text(block))
+
+
+def _visible_text(block: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(block, _ANY_TAG, " "), r"\s+", " ")
+    )
+
+
+def _link_text_len(block: Column) -> Column:
+    """Total visible-char count inside <a> elements of the block."""
+    anchors = F.regexp_extract_all(block, F.lit(_ANCHOR_TEXT), 1)
+    return F.aggregate(
+        anchors,
+        F.lit(0),
+        lambda acc, a: acc + F.length(F.trim(F.regexp_replace(a, _ANY_TAG, " "))),
+    )
+
+
+def main_content(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    min_len: int = 25,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Main-content blocks per document: (id, block_idx, text,
+    text_len, link_density), block_idx dense in reading order.
+
+    Pure Catalyst — one scan, explode, filter, and a row_number window
+    partitioned by the document id (the only exchange, and it carries
+    only the SURVIVING content blocks, already boilerplate-free).
+    """
+    from pyspark.sql import Window
+
+    clean = strip_boilerplate(html_col)
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(clean, _BLOCK_SPLIT)).alias("pos", "block"),
+    )
+    scored = blocks.select(
+        id_col,
+        "pos",
+        _visible_text(F.col("block")).alias("raw_text"),
+        _visible_len(F.col("block")).alias("text_len"),
+        _link_text_len(F.col("block")).alias("link_len"),
+    ).where(F.col("text_len") > 0)
+    scored = scored.withColumn(
+        "link_density",
+        F.round(F.col("link_len") / F.col("text_len"), 6),
+    )
+    kept = scored.where(
+        (F.col("text_len") >= min_len)
+        & (F.col("link_density") <= max_link_density)
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return kept.select(
+        id_col,
+        (F.row_number().over(w) - 1).alias("block_idx"),
+        decode_entities(F.col("raw_text")).alias("text"),
+        "text_len",
+        "link_density",
+    )
+
+
+def dom_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Per-document DOM heuristics: title, first h1, link / paragraph /
+    image counts, and total visible-text length AFTER boilerplate
+    strip. Row-local (zero shuffles)."""
+    raw = F.col(html_col)
+    clean = strip_boilerplate(html_col)
+    first_h1 = F.regexp_extract(raw, r"(?is)<h1(?:\s[^>]*)?>(.*?)</h1\s*>", 1)
+    title = F.regexp_extract(raw, r"(?is)<title(?:\s[^>]*)?>(.*?)</title\s*>", 1)
+    return df.select(
+        id_col,
+        decode_entities(_visible_text(title)).alias("title"),
+        decode_entities(_visible_text(first_h1)).alias("h1"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"(?i)<a(?:\s[^>]*)?>"), 0)).alias("n_links"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"(?i)<p(?:\s[^>]*)?>"), 0)).alias("n_paragraphs"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"(?i)<img(?:\s[^>]*)?/?>"), 0)).alias("n_images"),
+        _visible_len(clean).alias("content_len"),
+    )

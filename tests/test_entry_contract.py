@@ -18,8 +18,11 @@ TABLES = [
 
 # cheap-but-representative subset: one per operator family, plus every
 # round-4 gate (x3 excluded: its streaming loop is pinned by
-# test_rollup_maintenance and it costs ~15 s per run)
+# test_rollup_maintenance and it costs ~15 s per run) and the round-5
+# HTML-extraction gates
 SUBSET = [
+    "h1_main_content",
+    "h2_dom_metadata",
     "a1_pricing_summary",
     "a10_cube_agg",
     "q1_exact_quantiles",

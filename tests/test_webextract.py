@@ -1,0 +1,136 @@
+"""HTML main-content extraction (operators/webextract.py): boilerplate
+regions stripped whole, block segmentation at block-tag boundaries,
+length/link-density gates, dense ordinals, entity decoding, and the
+documented nesting limitation pinned explicitly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.webextract import (
+    dom_metadata,
+    main_content,
+    strip_boilerplate,
+)
+
+PAD = " the quick brown fox jumps over the lazy dog again and again"  # 61 chars
+
+
+def _df(spark, html):
+    return spark.createDataFrame([(1, html)], "id long, html string")
+
+
+def _texts(spark, html, **kw):
+    out = main_content(_df(spark, html), "id", "html", **kw)
+    rows = out.orderBy("block_idx").collect()
+    # ordinals are dense from 0 in reading order
+    assert [r.block_idx for r in rows] == list(range(len(rows)))
+    return [r.text for r in rows]
+
+
+def test_regions_stripped_whole(spark):
+    html = (
+        "<html><head><title>t</title><style>p{}</style>"
+        "<script>if (1 < 2) { var x = '</p>'; }</script></head>"
+        f"<body><nav><a href='/'>home</a> more nav junk</nav><p>keep this{PAD}</p>"
+        f"<footer>legal{PAD}</footer></body></html>"
+    )
+    texts = _texts(spark, html)
+    assert texts == [f"keep this{PAD}"]
+
+
+def test_link_density_drops_boilerplate(spark):
+    html = (
+        f"<body><p>content paragraph{PAD}</p>"
+        "<div><a href='/1'>one long link text here</a> "
+        "<a href='/2'>another long link text here</a></div></body>"
+    )
+    texts = _texts(spark, html)
+    assert texts == [f"content paragraph{PAD}"]
+
+
+def test_mixed_block_with_minor_link_survives(spark):
+    html = f"<body><p>see <a href='/x'>ref</a>{PAD}{PAD}</p></body>"
+    texts = _texts(spark, html)
+    assert len(texts) == 1 and texts[0].startswith("see ref")
+
+
+def test_min_len_gate(spark):
+    html = f"<body><p>ok</p><p>long enough{PAD}</p></body>"
+    assert _texts(spark, html) == [f"long enough{PAD}"]
+
+
+def test_entities_decoded_in_output(spark):
+    html = f"<body><p>Fish &amp; chips &lt;daily&gt; &#39;hot&#39; &quot;now&quot;{PAD}</p></body>"
+    (text,) = _texts(spark, html)
+    assert text == f"Fish & chips <daily> 'hot' \"now\"{PAD}"
+    # &amp;lt; decodes to the literal '&lt;', not '<' (amp decoded last)
+    html2 = f"<body><p>escaped &amp;lt;tag&amp;gt; stays literal{PAD}</p></body>"
+    (text2,) = _texts(spark, html2)
+    assert "&lt;tag&gt;" in text2
+
+
+def test_inline_tags_do_not_split_blocks(spark):
+    html = f"<body><p>one <b>bold</b> and <i>italic</i> span{PAD}</p></body>"
+    (text,) = _texts(spark, html)
+    assert text == f"one bold and italic span{PAD}"
+
+
+def test_block_tags_with_attributes_split(spark):
+    html = (
+        f"<body><div class='a' id=x>first{PAD}</div>"
+        f"<p style='x'>second{PAD}</p></body>"
+    )
+    assert _texts(spark, html) == [f"first{PAD}", f"second{PAD}"]
+
+
+def test_empty_and_markup_only_blocks_vanish(spark):
+    html = f"<body><div></div><div>   </div><p>real{PAD}</p><hr/></body>"
+    assert _texts(spark, html) == [f"real{PAD}"]
+
+
+def test_documented_nesting_limit(spark):
+    """Non-greedy region match without nesting awareness: an inner
+    </nav> ends the strip early and the leftover close tag is markup
+    only, so content BETWEEN the navs leaks through — the documented
+    limit, pinned so a change is visible."""
+    html = f"<body><nav>outer <nav>inner</nav> leaked{PAD}</nav><p>main{PAD}</p></body>"
+    texts = _texts(spark, html)
+    assert f"main{PAD}" in texts
+    assert any("leaked" in t for t in texts)
+
+
+def test_strip_boilerplate_is_row_local_expression(spark):
+    df = _df(spark, "<body><nav>x</nav>ok</body>").select(
+        strip_boilerplate("html").alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_main_content_single_exchange(spark):
+    out = main_content(_df(spark, "<p>x</p>"), "id", "html")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one window over id is the only thing that can shuffle
+    assert plan.count("Window") == 1
+
+
+def test_dom_metadata(spark):
+    html = (
+        "<html><head><title>My &amp; Title</title></head>"
+        "<body><h1>The <b>Head</b>ing</h1>"
+        "<p>a</p><p>b</p><a href='/1'>x</a><a href='/2'>y</a>"
+        "<img src='i.png'/><nav>junk</nav></body></html>"
+    )
+    row = dom_metadata(_df(spark, html), "id", "html").collect()[0]
+    assert row.title == "My & Title"
+    assert row.h1 == "The Head ing"  # inner tags become spaces, then collapse
+    assert row.n_links == 2
+    assert row.n_paragraphs == 2
+    assert row.n_images == 1
+    assert row.content_len > 0
+
+
+def test_dom_metadata_absent_fields_empty(spark):
+    row = dom_metadata(_df(spark, "<body><p>x</p></body>"), "id", "html").collect()[0]
+    assert row.title == "" and row.h1 == ""
+    assert row.n_links == 0 and row.n_images == 0
