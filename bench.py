@@ -35,6 +35,7 @@ HEADLINE = [
     "t1_text_profile",
     "s1_cosine_topk",
     "m2_media_metadata_udf",
+    "h1_main_content",
 ]
 
 
