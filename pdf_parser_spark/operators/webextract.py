@@ -152,6 +152,35 @@ def main_content(
     )
 
 
+def main_content_from_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    kinds: tuple[str, ...] = ("html", "text"),
+    **kw,
+) -> DataFrame:
+    """Adapter for the interleaved input table (doc_id,
+    spans:array<struct<kind,text,media_ref,offset>>): assemble each
+    document's markup by concatenating its html/text-kind spans in
+    offset order (media spans pass through untouched — their bytes
+    never enter the text path), then extract main content.
+
+    Assembly is row-local higher-order array ops (filter →
+    transform → array_sort → array_join) — no explode, no shuffle —
+    so the adapter adds zero exchanges to main_content's plan.
+    """
+    spans = F.col(spans_col)
+    picked = F.filter(spans, lambda s: s["kind"].isin(*kinds))
+    ordered = F.array_sort(
+        F.transform(
+            picked, lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t"))
+        )
+    )
+    html = F.array_join(F.transform(ordered, lambda s: s["t"]), "\n")
+    page = docs.select(F.col(id_col), html.alias("_html"))
+    return main_content(page, id_col, "_html", **kw)
+
+
 def dom_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     """Per-document DOM heuristics: title, first h1, link / paragraph /
     image counts, and total visible-text length AFTER boilerplate

@@ -134,3 +134,26 @@ def test_dom_metadata_absent_fields_empty(spark):
     row = dom_metadata(_df(spark, "<body><p>x</p></body>"), "id", "html").collect()[0]
     assert row.title == "" and row.h1 == ""
     assert row.n_links == 0 and row.n_images == 0
+
+
+def test_main_content_from_spans_interleaved(spark):
+    """input_hint shape: html spans assembled in OFFSET order (not
+    array order), media spans ignored, then extracted."""
+    from pdf_parser_spark.operators.webextract import main_content_from_spans
+
+    spans = [
+        {"kind": "html", "text": f"<p>second part of the page{PAD}</p>",
+         "media_ref": "", "offset": 2},
+        {"kind": "pdf_page", "text": "", "media_ref": "media/1/p1", "offset": 1},
+        {"kind": "html", "text": f"<nav><a href='/'>x</a></nav><p>first part{PAD}</p>",
+         "media_ref": "", "offset": 0},
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = main_content_from_spans(df).orderBy("block_idx").collect()
+    assert [r.text for r in rows] == [f"first part{PAD}", f"second part of the page{PAD}"]
+    # zero exchanges beyond main_content's own ordinal window
+    plan = main_content_from_spans(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 1
