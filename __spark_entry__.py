@@ -52,8 +52,10 @@ from pdf_parser_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
 from pdf_parser_spark.operators.webextract import (
     _ANCHOR_TEXT,
     _BLOCK_SPLIT,
+    _LINK,
     REGION_TAGS,
     dom_metadata,
+    extract_links,
     main_content,
 )
 from pdf_parser_spark.operators.textstats import (
@@ -1853,6 +1855,59 @@ FROM src ORDER BY doc_id
 """
 
 
+# two extra links appended ONLY for the h3 edge-list gate (an absolute
+# href and a single-quoted href with an entity in the anchor) so the
+# h1/h2 inputs — already re-verified at sf0.1 — stay byte-identical
+_H3_EXTRA = (
+    '<p>More at <a href="https://example.com/ref">example ref</a>'
+    " and <a href='/rel'>rel &amp; path</a>.</p>"
+)
+
+
+def q_h3_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outgoing-link edge list of the synthesized pages (crawl
+    frontier / link graph input): 10 links per page in document order,
+    hrefs trimmed, anchors tag-stripped + entity-decoded, absolute
+    links flagged. Row-local regexp passes — zero shuffles beyond the
+    gate's deterministic ORDER BY."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(_synth_html_col(), F.lit(_H3_EXTRA)).alias("html"),
+    )
+    out = extract_links(docs, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        "href",
+        "anchor",
+        "is_absolute",
+    ).orderBy("doc_id", "link_idx")
+
+
+def _h3_sql() -> str:
+    return f"""
+WITH src AS (SELECT doc_id,
+                    {_synth_html_sql()} || {_sqlq(_H3_EXTRA)} AS html
+             FROM documents),
+arr AS (SELECT doc_id,
+               regexp_extract_all(html, {_sqlq(_LINK)}, 1) AS hs,
+               regexp_extract_all(html, {_sqlq(_LINK)}, 2) AS ans
+        FROM src),
+edges AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(hs))) - 1 AS link_idx,
+         unnest(hs) AS h,
+         unnest(ans) AS a
+  FROM arr)
+SELECT doc_id,
+       CAST(link_idx AS BIGINT) AS link_idx,
+       trim(h) AS href,
+       {_h_decode_sql(_h_vis_sql('a'))} AS anchor,
+       regexp_matches(h, '(?i)^\\s*(https?:)?//') AS is_absolute
+FROM edges ORDER BY doc_id, link_idx
+"""
+
+
 def q_w15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union-tag + running last, ONE shuffle on
     user_id — no inequality join): each purchase event gets the most
@@ -2250,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_media_transform": q_m3_media_transform,
         "h1_main_content": q_h1_main_content,
         "h2_dom_metadata": q_h2_dom_metadata,
+        "h3_link_edges": q_h3_link_edges,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a10_cube_agg": q_a10_cube_agg,
         "q1_exact_quantiles": q_q1_exact_quantiles,
@@ -2322,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "m3_media_transform": _M3_SQL,
         "h1_main_content": _h1_sql(),
         "h2_dom_metadata": _h2_sql(),
+        "h3_link_edges": _h3_sql(),
         "a1_pricing_summary": _A1_SQL,
         "a10_cube_agg": _A10_SQL,
         "q1_exact_quantiles": _q1_sql(),

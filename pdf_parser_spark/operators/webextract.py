@@ -181,6 +181,41 @@ def main_content_from_spans(
     return main_content(page, id_col, "_html", **kw)
 
 
+# href in double OR single quotes via one char class (RE2-safe: no
+# alternation groups, no backreferences); mismatched quotes match up to
+# the first closing quote of either kind — documented, engine-identical
+_LINK = r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a\s*>"""
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """The document's outgoing-link edge list: (id, link_idx, href,
+    anchor) in document order — the crawl-frontier / link-graph input
+    of a web pipeline. ALL anchors count (nav and footer links are
+    signal for a link graph, unlike for main content), href trimmed,
+    anchor text tag-stripped and entity-decoded.
+
+    Row-local: two regexp_extract_all passes over the same pattern
+    (one per capture group — identical match set, so the zipped arrays
+    align), then one posexplode. Zero shuffles beyond the caller's
+    ordering."""
+    raw = F.col(html_col)
+    hrefs = F.regexp_extract_all(raw, F.lit(_LINK), 1)
+    anchors = F.regexp_extract_all(raw, F.lit(_LINK), 2)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(hrefs.alias("h"), anchors.alias("a"))).alias(
+            "link_idx", "z"
+        ),
+    )
+    return out.select(
+        id_col,
+        "link_idx",
+        F.trim(F.col("z.h")).alias("href"),
+        decode_entities(_visible_text(F.col("z.a"))).alias("anchor"),
+        F.col("z.h").rlike("(?i)^\\s*(https?:)?//").alias("is_absolute"),
+    )
+
+
 def dom_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     """Per-document DOM heuristics: title, first h1, link / paragraph /
     image counts, and total visible-text length AFTER boilerplate

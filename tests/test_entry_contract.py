@@ -23,6 +23,7 @@ TABLES = [
 SUBSET = [
     "h1_main_content",
     "h2_dom_metadata",
+    "h3_link_edges",
     "a1_pricing_summary",
     "a10_cube_agg",
     "q1_exact_quantiles",

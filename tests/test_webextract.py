@@ -157,3 +157,28 @@ def test_main_content_from_spans_interleaved(spark):
     # zero exchanges beyond main_content's own ordinal window
     plan = main_content_from_spans(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") == 1
+
+
+def test_extract_links_edge_list(spark):
+    from pdf_parser_spark.operators.webextract import extract_links
+
+    html = (
+        "<body><nav><a href='/'>Home</a></nav>"
+        '<p>see <a class="x" href="https://ex.com/a">Ex &amp; Co</a> or '
+        "<a href='//cdn.ex.com/b'>proto-relative</a> or "
+        "<a href='/rel'>rel <b>bold</b></a></p>"
+        "<a name='anchor-no-href'>not a link</a></body>"
+    )
+    rows = extract_links(_df(spark, html), "id", "html").orderBy("link_idx").collect()
+    assert [(r.link_idx, r.href, r.anchor, r.is_absolute) for r in rows] == [
+        (0, "/", "Home", False),
+        (1, "https://ex.com/a", "Ex & Co", True),
+        (2, "//cdn.ex.com/b", "proto-relative", True),
+        (3, "/rel", "rel bold", False),
+    ]
+
+
+def test_extract_links_empty(spark):
+    from pdf_parser_spark.operators.webextract import extract_links
+
+    assert extract_links(_df(spark, "<p>no links</p>"), "id", "html").count() == 0
