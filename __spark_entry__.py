@@ -1908,6 +1908,12 @@ FROM edges ORDER BY doc_id, link_idx
 """
 
 
+def _t13_sql() -> str:
+    from pdf_parser_spark.operators.textstats import chunk_text_oracle_sql
+
+    return chunk_text_oracle_sql("documents", "doc_id", "text", 64, 48)
+
+
 def q_w15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union-tag + running last, ONE shuffle on
     user_id — no inequality join): each purchase event gets the most
@@ -2120,6 +2126,20 @@ SELECT t.doc_id, top_token_ratio, distinct_ratio,
        coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
 FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id
 """
+
+
+def q_t13_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (doc → training example): 64-token
+    windows every 48 tokens, no fully-covered tail stubs. Narrow-map
+    plan — split/sequence/filter/explode/slice, chunk_idx arithmetic
+    (s / stride) instead of a window function, so nothing shuffles
+    until the gate's deterministic ORDER BY."""
+    from pdf_parser_spark.operators.textstats import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
 
 
 def q_t12_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2350,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_bigram_lm": q_t10_bigram_lm,
         "t11_weighted_sample": q_t11_weighted_sample,
         "t12_quality_filter": q_t12_quality_filter,
+        "t13_chunk_text": q_t13_chunk_text,
         "s1_cosine_topk": q_s1_cosine_topk,
         "s2_bucketed_ann": q_s2_bucketed_ann,
         "s3_hyperplane_ann": q_s3_hyperplane_ann,
@@ -2423,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "t10_bigram_lm": _t10_sql(),
         "t11_weighted_sample": _t11_sql(),
         "t12_quality_filter": _t12_sql(),
+        "t13_chunk_text": _t13_sql(),
         "s1_cosine_topk": _S1_SQL,
         "s2_bucketed_ann": _S2_SQL,
         "s3_hyperplane_ann": _s3_sql(),

@@ -784,3 +784,70 @@ WITH b AS (
 SELECT {id_col}, CASE {' '.join(cases)} END AS split
 FROM b ORDER BY {id_col}
 """
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window chunking — the document → training-example step
+    of an LLM data pipeline: whitespace-token windows of
+    ``chunk_tokens`` starting every ``stride`` tokens (overlap =
+    chunk_tokens − stride), stopping once a window reaches the
+    document's end so no tail stub is emitted that a previous window
+    already covers. A start s > 0 survives iff its PREDECESSOR window
+    did not reach the end: s < n − chunk_tokens + stride.
+
+    Pure Catalyst: split → sequence of starts → arithmetic filter →
+    posexplode → slice/join. Row-local (the explode multiplies rows
+    but never shuffles); chunk_idx = s / stride is dense by
+    construction, so no window function is needed — at 10^12 docs the
+    plan stays a narrow map. Docs with no tokens are dropped.
+    """
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s < F.col("_n") - chunk_tokens + stride),
+    )
+    ex = base.select(id_col, "_w", F.explode(starts).alias("_s"))
+    piece = F.slice(F.col("_w"), F.col("_s") + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        (F.col("_s") / stride).cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_text_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> str:
+    """The identical windowing in ANSI SQL for the DuckDB oracle."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS ws
+  FROM {table} WHERE length(trim({text_col})) > 0),
+st AS (
+  SELECT {id_col}, ws,
+         unnest(generate_series(0, len(ws) - 1, {stride})) AS s
+  FROM w)
+SELECT {id_col},
+       CAST(s // {stride} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(ws, s + 1, s + {chunk_tokens}), ' ') AS chunk,
+       CAST(len(list_slice(ws, s + 1, s + {chunk_tokens})) AS BIGINT) AS n_tokens
+FROM st
+WHERE s = 0 OR s < len(ws) - {chunk_tokens} + {stride}
+ORDER BY {id_col}, chunk_idx
+"""

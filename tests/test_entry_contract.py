@@ -49,6 +49,7 @@ SUBSET = [
     "t10_bigram_lm",
     "t11_weighted_sample",
     "t12_quality_filter",
+    "t13_chunk_text",
     "d9_passage_dedup",
 ]
 
