@@ -87,3 +87,9 @@ def test_narrow_map_plan(spark, docs):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # no window function, no aggregate — explode over a narrow map only
     assert "Window" not in plan and "Aggregate" not in plan
+
+
+def test_null_text_dropped(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = chunk_text(df, "doc_id", "text", chunk_tokens=2, stride=1).collect()
+    assert {r.doc_id for r in rows} == {2}

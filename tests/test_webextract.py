@@ -182,3 +182,16 @@ def test_extract_links_empty(spark):
     from pdf_parser_spark.operators.webextract import extract_links
 
     assert extract_links(_df(spark, "<p>no links</p>"), "id", "html").count() == 0
+
+
+def test_null_html_yields_no_rows(spark):
+    """NULL html: every array expression collapses to NULL and the
+    explode emits nothing — same contract as the SQL oracles, where
+    unnest(NULL) produces zero rows."""
+    from pdf_parser_spark.operators.webextract import extract_links
+
+    df = spark.createDataFrame([(1, None)], "id long, html string")
+    assert main_content(df, "id", "html").count() == 0
+    assert extract_links(df, "id", "html").count() == 0
+    row = dom_metadata(df, "id", "html").collect()[0]
+    assert row.title is None and row.n_links is None
