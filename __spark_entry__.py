@@ -54,9 +54,12 @@ from pdf_parser_spark.operators.webextract import (
     _BLOCK_SPLIT,
     _LINK,
     REGION_TAGS,
+    canonicalize_url,
+    canonicalize_url_sql,
     dom_metadata,
     extract_links,
     main_content,
+    url_host,
 )
 from pdf_parser_spark.operators.textstats import (
     hash_split,
@@ -1908,6 +1911,70 @@ FROM edges ORDER BY doc_id, link_idx
 """
 
 
+def q_h4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over three messy variants per document
+    (uppercase scheme/host + default port + utm params + fragment;
+    default-port-only; relative with a tracking param) — the frontier/
+    dedup key step downstream of h3's edge list. Row-local."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.struct(
+            F.lit(1).alias("variant"),
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/doc/"), did,
+                F.lit("?utm_source=feed&id="), did, F.lit("#sec"),
+            ).alias("url"),
+        ),
+        F.struct(
+            F.lit(2).alias("variant"),
+            F.concat(F.lit("http://Mirror.example.com:80/doc/"), did).alias("url"),
+        ),
+        F.struct(
+            F.lit(3).alias("variant"),
+            F.concat(F.lit("/rel/"), did, F.lit("?utm_a=1&page=2")).alias("url"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(variants).alias("v")).select(
+        "doc_id",
+        F.col("v.variant").cast("long").alias("variant"),
+        F.col("v.url").alias("url"),
+    )
+    return ex.select(
+        "doc_id",
+        "variant",
+        "url",
+        canonicalize_url("url").alias("url_canon"),
+        url_host("url").alias("host"),
+    ).orderBy("doc_id", "variant")
+
+
+def _h4_sql() -> str:
+    did = "CAST(doc_id AS VARCHAR)"
+    host = (
+        "lower(regexp_replace(regexp_extract(trim(url),"
+        " '^(?i)https?://([^/?#]+)', 1), ':[0-9]+$', ''))"
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id, 1 AS variant,
+         'HTTPS://Example.COM:443/doc/' || {did} ||
+         '?utm_source=feed&id=' || {did} || '#sec' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'http://Mirror.example.com:80/doc/' || {did}
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, '/rel/' || {did} || '?utm_a=1&page=2' FROM documents)
+SELECT doc_id,
+       CAST(variant AS BIGINT) AS variant,
+       url,
+       {canonicalize_url_sql('url')} AS url_canon,
+       {host} AS host
+FROM v ORDER BY doc_id, variant
+"""
+
+
 def _t13_sql() -> str:
     from pdf_parser_spark.operators.textstats import chunk_text_oracle_sql
 
@@ -2326,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_main_content": q_h1_main_content,
         "h2_dom_metadata": q_h2_dom_metadata,
         "h3_link_edges": q_h3_link_edges,
+        "h4_url_canonicalize": q_h4_url_canonicalize,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a10_cube_agg": q_a10_cube_agg,
         "q1_exact_quantiles": q_q1_exact_quantiles,
@@ -2400,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "h1_main_content": _h1_sql(),
         "h2_dom_metadata": _h2_sql(),
         "h3_link_edges": _h3_sql(),
+        "h4_url_canonicalize": _h4_sql(),
         "a1_pricing_summary": _A1_SQL,
         "a10_cube_agg": _A10_SQL,
         "q1_exact_quantiles": _q1_sql(),

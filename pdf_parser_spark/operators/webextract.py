@@ -233,3 +233,82 @@ def dom_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(r"(?i)<img(?:\s[^>]*)?/?>"), 0)).alias("n_images"),
         _visible_len(clean).alias("content_len"),
     )
+
+
+def url_host(url_col: str | Column) -> Column:
+    """Lowercased host of an absolute http(s) URL ('' for relative
+    URLs), port stripped — the crawl pipeline's per-site key
+    (politeness buckets, per-domain caps, link-graph nodes)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    hp = F.regexp_extract(F.trim(col), r"^(?i)https?://([^/?#]+)", 1)
+    return F.lower(F.regexp_replace(hp, r":\d+$", ""))
+
+
+def canonicalize_url(url_col: str | Column) -> Column:
+    """Deterministic URL canonical form for dedup/frontier keys:
+
+    1. trim + strip the fragment;
+    2. absolute http(s) URLs: lowercase scheme and host, drop the
+       scheme's default port (80/443), keep any other port;
+    3. drop ``utm_*`` tracking params (and empty params) from the
+       query, dropping the '?' when nothing survives;
+    4. relative URLs pass through steps 1 and 3 only.
+
+    Path case, param ORDER, and percent-encoding are preserved —
+    reordering or decoding can change meaning, so equality stays
+    conservative (no false merges). Every regex is RE2-compatible;
+    the SQL oracle applies the identical rules.
+    """
+    u = F.regexp_replace(F.trim(F.col(url_col) if isinstance(url_col, str) else url_col),
+                         r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^(?i)(https?)://", 1))
+    host_port = F.regexp_extract(u, r"^(?i)https?://([^/?#]+)", 1)
+    host = F.lower(F.regexp_replace(host_port, r":\d+$", ""))
+    port = F.regexp_extract(host_port, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == "80"))
+        & ~((scheme == F.lit("https")) & (port == "443"))
+    )
+    authority = F.concat(host, F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")))
+    tail = F.regexp_replace(u, r"^(?i)https?://[^/?#]+", "")
+    is_abs = scheme != ""
+    base = F.when(is_abs, F.concat(scheme, F.lit("://"), authority)).otherwise(F.lit(""))
+    rel = F.when(is_abs, tail).otherwise(u)
+    path = F.regexp_replace(rel, r"\?.*$", "")
+    query = F.regexp_extract(rel, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^utm_"),
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        base, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The identical canonicalization in DuckDB SQL (RE2)."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^(?i)(https?)://', 1))"
+    host_port = f"regexp_extract({u}, '^(?i)https?://([^/?#]+)', 1)"
+    host = f"lower(regexp_replace({host_port}, ':[0-9]+$', ''))"
+    port = f"regexp_extract({host_port}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    authority = f"({host} || CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END)"
+    tail = f"regexp_replace({u}, '^(?i)https?://[^/?#]+', '')"
+    is_abs = f"({scheme} <> '')"
+    base = f"CASE WHEN {is_abs} THEN {scheme} || '://' || {authority} ELSE '' END"
+    rel = f"CASE WHEN {is_abs} THEN {tail} ELSE {u} END"
+    path = f"regexp_replace({rel}, '\\?.*$', '')"
+    query = f"regexp_extract({rel}, '\\?(.*)$', 1)"
+    q = (
+        f"array_to_string(list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '^utm_')), '&')"
+    )
+    return (
+        f"({base} || {path} || CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END)"
+    )

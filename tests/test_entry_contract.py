@@ -24,6 +24,7 @@ SUBSET = [
     "h1_main_content",
     "h2_dom_metadata",
     "h3_link_edges",
+    "h4_url_canonicalize",
     "a1_pricing_summary",
     "a10_cube_agg",
     "q1_exact_quantiles",

@@ -195,3 +195,57 @@ def test_null_html_yields_no_rows(spark):
     assert extract_links(df, "id", "html").count() == 0
     row = dom_metadata(df, "id", "html").collect()[0]
     assert row.title is None and row.n_links is None
+
+
+URL_CASES = [
+    # (input, canonical, host)
+    ("HTTPS://Example.COM:443/Path/To?utm_source=x&id=7&utm_b=2#frag",
+     "https://example.com/Path/To?id=7", "example.com"),
+    ("http://EX.com:80/", "http://ex.com/", "ex.com"),
+    ("http://ex.com:8080/a?b=1", "http://ex.com:8080/a?b=1", "ex.com"),  # non-default port kept
+    ("  https://a.b/c?utm_x=1&utm_y=2  ", "https://a.b/c", "a.b"),       # all params tracking
+    ("/relative/path?id=3&utm_z=9#top", "/relative/path?id=3", ""),
+    ("https://host.com", "https://host.com", "host.com"),
+    ("ftp://odd.scheme/x", "ftp://odd.scheme/x", ""),                    # non-http passes through
+    ("https://h.com/p?", "https://h.com/p", "h.com"),                    # empty query dropped
+    ("HTTP://H.COM/CaseKeptPath?A=B&utm_a=1&C=D",
+     "http://h.com/CaseKeptPath?A=B&C=D", "h.com"),                      # path case + param order kept
+]
+
+
+def test_canonicalize_url_cases(spark):
+    from pdf_parser_spark.operators.webextract import canonicalize_url, url_host
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(URL_CASES)], "i long, u string"
+    )
+    rows = (
+        df.select("i", canonicalize_url("u").alias("c"), url_host("u").alias("h"))
+        .orderBy("i")
+        .collect()
+    )
+    for r, (u, want_c, want_h) in zip(rows, URL_CASES):
+        assert r.c == want_c, (u, r.c, want_c)
+        assert r.h == want_h, (u, r.h, want_h)
+
+
+def test_canonicalize_url_sql_parity(spark):
+    """The DuckDB mirror produces byte-identical canon forms on the
+    same tricky cases."""
+    import duckdb
+
+    from pdf_parser_spark.operators.webextract import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(URL_CASES)], "i long, u string"
+    )
+    sdf = df.select("i", canonicalize_url("u").alias("c")).orderBy("i").toPandas()
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    odf = con.execute(
+        f"SELECT i, {canonicalize_url_sql('u')} AS c FROM t ORDER BY i"
+    ).fetchdf()
+    assert sdf["c"].tolist() == odf["c"].tolist()
